@@ -1,0 +1,52 @@
+"""Runtime configuration (reference `se_denseslam/include/se/config.h:39-214`
+and defaults `se_apps/include/default_parameters.h:26-49`)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class Configuration:
+    # Pipeline rates (default_parameters.h:26-31)
+    compute_size_ratio: int = 1          # --compute-size-ratio / -r
+    tracking_rate: int = 1               # --tracking-rate / -t
+    integration_rate: int = 2            # --integration-rate / -z
+    rendering_rate: int = 4              # --rendering-rate / -c
+
+    # Volume (default_parameters.h:32-35): 256^3 voxels over 2m
+    volume_resolution: Tuple[int, int, int] = (256, 256, 256)   # -v
+    volume_size: Tuple[float, float, float] = (2.0, 2.0, 2.0)   # -s
+    initial_pos_factor: Tuple[float, float, float] = (0.5, 0.5, 0.0)  # -p
+
+    pyramid: Tuple[int, ...] = (10, 5, 4)  # ICP iterations per level, -y
+
+    dump_volume_file: str = ""           # -d
+    input_file: str = ""                 # -i
+    log_file: str = ""                   # -o
+    groundtruth_file: str = ""           # -g
+    gt_transform: Optional[Sequence[float]] = None  # -G, row-major 4x4
+
+    # Camera: fx, fy, cx, cy (negative fy = ICL-NUIM flipped y), -k
+    camera: Optional[Tuple[float, float, float, float]] = None
+    camera_overrided: bool = False
+
+    mu: float = 0.1                      # TSDF truncation band, -m
+    fps: int = 0                         # reader pacing, -f
+    blocking_read: bool = False          # -b
+    icp_threshold: float = 1e-5          # -l
+    no_gui: bool = True                  # -q/-e in reference GUI builds
+    render_volume_fullsize: bool = False
+    bilateral_filter: bool = False       # -F
+    colour_voxels: bool = False
+
+    # --- TPU build extensions (not in the reference) ---
+    block_capacity: Optional[int] = None   # max allocated blocks (None: auto)
+    max_alloc_per_frame: int = 8192        # candidate new blocks per frame
+    raycast_coarse_samples: int = 96
+    raycast_fine_samples: int = 16
+    field_type: str = "sdf"                # "sdf" | "ofusion"
+
+    def pyramid_levels(self) -> int:
+        return len(self.pyramid)
