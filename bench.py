@@ -1,0 +1,107 @@
+"""Benchmark: fused SLAM frames/s/chip at the canonical configuration.
+
+Canonical reference run (BASELINE.md): ICL-NUIM lr-traj2, SDF, 4.8 m volume,
+256^3 voxels, compute size 320x240, pyramid (10,5,4).  ICL-NUIM is not
+fetchable in this environment, so the frames come from the analytic-room
+renderer (supereight_tpu.io.synthetic) at identical resolution/intrinsics —
+the compute per frame (track + allocate + integrate + raycast every frame)
+is the same.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 100 (the >=100 fused fps/chip target in
+BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from supereight_tpu.config import Configuration
+    from supereight_tpu.io import synthetic
+    from supereight_tpu.pipeline import DenseSLAMSystem
+    from supereight_tpu.pipeline.system import process_frame
+
+    H, W = 240, 320
+    SIZE = 256
+    N_FRAMES = 96
+    k = np.asarray([240.6, 240.0, 160.0, 120.0], np.float32)
+
+    t0 = time.perf_counter()
+    depths, poses, _ = synthetic.generate_sequence(
+        N_FRAMES, H=H, W=W, room_dim=4.8, k=tuple(k))
+    print(f"# generated {N_FRAMES} frames in {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
+    cfg = Configuration(volume_resolution=(SIZE,) * 3, volume_size=(4.8,) * 3,
+                        pyramid=(10, 5, 4), integration_rate=1,
+                        block_capacity=16384)
+    slam = DenseSLAMSystem((H, W), cfg)
+    slam.setPose(poses[0])
+
+    fn = functools.partial(
+        process_frame, field=slam.field, iterations=slam.iterations,
+        tracking_rate=1, integration_rate=1, bilateral=False,
+        icp_threshold=cfg.icp_threshold,
+        sdf_alloc_steps=slam.sdf_alloc_steps, ofusion_schedule=None,
+        use_gt=False, neg_y=False)
+
+    k_dev = jnp.asarray(k)
+    eye = jnp.eye(4, dtype=jnp.float32)
+
+    def scan_step(state, inp):
+        depth, frame = inp
+        return fn(state, depth, k_dev, frame, eye), ()
+
+    @jax.jit
+    def run_chunk(state, depth_chunk, frame0):
+        frames = frame0 + jnp.arange(depth_chunk.shape[0], dtype=jnp.int32)
+        state, _ = jax.lax.scan(scan_step, state, (depth_chunk, frames))
+        return state
+
+    CHUNK = 16
+    depths_dev = jnp.asarray(depths)
+
+    # warmup/compile + map bootstrap on the first chunk
+    t0 = time.perf_counter()
+    state = run_chunk(slam.state, depths_dev[:CHUNK],
+                      jnp.asarray(0, jnp.int32))
+    state.pose.block_until_ready()
+    print(f"# compile+first chunk: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
+    # timed steady-state run
+    t0 = time.perf_counter()
+    n_timed = 0
+    for s in range(CHUNK, N_FRAMES, CHUNK):
+        state = run_chunk(state, depths_dev[s:s + CHUNK],
+                          jnp.asarray(s, jnp.int32))
+        n_timed += CHUNK
+    state.pose.block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = n_timed / dt
+
+    # trajectory sanity (drift vs ground truth, meters)
+    final_err = float(np.linalg.norm(
+        np.asarray(state.pose)[:3, 3] - poses[N_FRAMES - 1][:3, 3]))
+    print(f"# {n_timed} frames in {dt:.2f}s; final pose err {final_err:.3f} m;"
+          f" blocks {int(state.map.n_blocks)}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "fused_frames_per_s_per_chip_256",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

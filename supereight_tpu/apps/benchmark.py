@@ -1,0 +1,148 @@
+"""Headless benchmark frontend (CLI parity with the reference).
+
+Reference: `se_apps/src/benchmark.cpp:34-200` (per-frame loop + TSV log) and
+the getopt flag set of `se_apps/include/default_parameters.h:63-88`.
+
+Usage:
+    python -m supereight_tpu.apps.benchmark -i scene.raw -s 4.8 \
+        -p 0.34,0.5,0.24 -z 4 -c 2 -r 1 -k 481.2,-480,320,240 -o log.tsv
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from supereight_tpu.config import Configuration
+from supereight_tpu.io import groundtruth, raw, serialise
+from supereight_tpu.pipeline import DenseSLAMSystem
+from supereight_tpu.utils.perfstats import Stats
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    """Flag names follow `default_parameters.h:63-88`."""
+    p = argparse.ArgumentParser(description="supereight_tpu benchmark")
+    p.add_argument("-i", "--input-file", required=True)
+    p.add_argument("-o", "--log-file", default="")
+    p.add_argument("-s", "--volume-size", default="4.8",
+                   help="metric volume size (one float or x,y,z)")
+    p.add_argument("-v", "--volume-resolution", default="256",
+                   help="voxels per edge (one int or x,y,z)")
+    p.add_argument("-p", "--init-pose", default="0.5,0.5,0",
+                   help="initial position as fraction of volume")
+    p.add_argument("-k", "--camera", default="",
+                   help="fx,fy,cx,cy (at input resolution)")
+    p.add_argument("-m", "--mu", type=float, default=0.1)
+    p.add_argument("-r", "--compute-size-ratio", type=int, default=1)
+    p.add_argument("-t", "--tracking-rate", type=int, default=1)
+    p.add_argument("-z", "--integration-rate", type=int, default=2)
+    p.add_argument("-c", "--rendering-rate", type=int, default=4)
+    p.add_argument("-y", "--pyramid-levels", default="10,5,4")
+    p.add_argument("-l", "--icp-threshold", type=float, default=1e-5)
+    p.add_argument("-g", "--ground-truth", default="")
+    p.add_argument("-G", "--gt-transform", default="",
+                   help="16 comma-separated row-major floats")
+    p.add_argument("-F", "--bilateral-filter", action="store_true")
+    p.add_argument("-d", "--dump-volume", default="",
+                   help="save the map checkpoint at the end (.npz)")
+    p.add_argument("--dump-mesh", default="")
+    p.add_argument("-f", "--fps", type=int, default=0)
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--field", choices=("sdf", "ofusion"), default="sdf")
+    return p.parse_args(argv)
+
+
+def _triple(text, cast):
+    parts = [cast(x) for x in text.split(",")]
+    return tuple(parts * 3) if len(parts) == 1 else tuple(parts)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    reader = raw.RawReader(args.input_file)
+    vol_size = _triple(args.volume_size, float)
+    vol_res = _triple(args.volume_resolution, int)
+
+    if args.camera:
+        k = np.asarray([float(x) for x in args.camera.split(",")], np.float32)
+    else:
+        # reference SceneK default (interface.h:171-176)
+        k = np.asarray([481.2, -480.0, reader.width / 2.0,
+                        reader.height / 2.0], np.float32)
+    k = k / args.compute_size_ratio
+
+    cfg = Configuration(
+        compute_size_ratio=args.compute_size_ratio,
+        tracking_rate=args.tracking_rate,
+        integration_rate=args.integration_rate,
+        rendering_rate=args.rendering_rate,
+        volume_resolution=vol_res,
+        volume_size=vol_size,
+        initial_pos_factor=_triple(args.init_pose, float),
+        pyramid=tuple(int(x) for x in args.pyramid_levels.split(",")),
+        mu=args.mu,
+        icp_threshold=args.icp_threshold,
+        bilateral_filter=args.bilateral_filter,
+        field_type=args.field,
+    )
+
+    gt_poses = None
+    if args.ground_truth:
+        transform = None
+        if args.gt_transform:
+            transform = np.asarray(
+                [float(x) for x in args.gt_transform.split(",")],
+                np.float32).reshape(4, 4)
+        gt_poses = groundtruth.read_poses(args.ground_truth, transform)
+
+    slam = DenseSLAMSystem((reader.height, reader.width), cfg)
+
+    log = open(args.log_file, "w") if args.log_file else sys.stdout
+    # TSV columns (`benchmark.cpp:110-112`)
+    log.write("frame\tacquisition\tpreprocessing\ttracking\tintegration\t"
+              "raycasting\trendering\tcomputation\ttotal\tX\tY\tZ\t"
+              "tracked\tintegrated\n")
+
+    n = len(reader)
+    if args.max_frames:
+        n = min(n, args.max_frames)
+    est_poses = []
+    t_start = time.perf_counter()
+    for frame in range(n):
+        t0 = time.perf_counter()
+        depth, _ = reader.read(frame)
+        t1 = time.perf_counter()
+        gt = gt_poses[frame] if gt_poses is not None else None
+        st = slam.step(depth, k, frame, gt_pose=gt)
+        st.pose.block_until_ready()
+        t2 = time.perf_counter()
+        pos = np.asarray(st.pose[:3, 3])
+        est_poses.append(np.asarray(st.pose))
+        Stats.sample("computation", t2 - t1)
+        Stats.sample("total", t2 - t0)
+        log.write(f"{frame}\t{t1 - t0:.8f}\t0\t0\t0\t0\t0\t"
+                  f"{t2 - t1:.8f}\t{t2 - t0:.8f}\t"
+                  f"{pos[0]:.6f}\t{pos[1]:.6f}\t{pos[2]:.6f}\t"
+                  f"{int(bool(st.tracked))}\t{int(bool(st.integrated))}\n")
+    wall = time.perf_counter() - t_start
+
+    if args.log_file:
+        log.close()
+    if not args.quiet:
+        print(Stats.summary(), file=sys.stderr)
+        print(f"{n} frames in {wall:.2f}s -> {n / wall:.2f} fps",
+              file=sys.stderr)
+
+    if args.dump_volume:
+        serialise.save_map(args.dump_volume, slam.state.map)
+    if args.dump_mesh:
+        slam.dump_mesh(args.dump_mesh)
+    return est_poses
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Surface mesh extraction from the sparse voxel map.
+
+Reference: `se_core/include/se/algorithms/meshing.hpp:40-211` — per-block
+marching cubes with the classic 256-case edge/tri tables
+(`edge_tables.h`), skipping cells with any unobserved corner and emitting
+metric-space zero-crossing vertices.
+
+TPU design (not a port): instead of the 256-entry triangle table and its
+data-dependent per-cell loop, each cell is decomposed into 6 tetrahedra
+sharing the main diagonal and triangulated by marching tetrahedra.  The
+per-tet case table (16 cases, <=2 triangles) is *derived programmatically*
+below, the whole extraction is a fixed-shape batched computation over
+(block, cell, tet), and triangles are compacted with a mask — no tables to
+copy, no scalar loops, no mutex append (`meshing.hpp:200-202`).
+Vertices are exact linear zero crossings like ``compute_intersection``
+(`meshing.hpp:45-55`); cell skip rules match ``compute_index``
+(`meshing.hpp:115-151`): any corner unobserved -> no triangles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import octree
+from .octree import BLOCK_SIDE, VoxelMap
+
+# Cube corner offsets, reference ordering (`meshing.hpp:92-101`):
+# 0:(0,0,0) 1:(1,0,0) 2:(1,0,1) 3:(0,0,1) 4:(0,1,0) 5:(1,1,0) 6:(1,1,1) 7:(0,1,1)
+CORNERS = np.array([
+    [0, 0, 0], [1, 0, 0], [1, 0, 1], [0, 0, 1],
+    [0, 1, 0], [1, 1, 0], [1, 1, 1], [0, 1, 1],
+], np.int32)
+
+# 6 tetrahedra around the 0-6 main diagonal (a standard cube decomposition)
+TETS = np.array([
+    [0, 1, 2, 6], [0, 2, 3, 6], [0, 3, 7, 6],
+    [0, 7, 4, 6], [0, 4, 5, 6], [0, 5, 1, 6],
+], np.int32)
+
+
+def _build_tet_table():
+    """Derive the marching-tetrahedra case table.
+
+    For each of the 16 inside-masks of a tet (a,b,c,d) emit up to 2
+    triangles; each triangle vertex is an edge (i, o) from an inside corner
+    to an outside corner.  Encoded as int32[16, 2, 3, 2] with -1 padding.
+    """
+    table = np.full((16, 2, 3, 2), -1, np.int32)
+    for mask in range(16):
+        inside = [i for i in range(4) if (mask >> i) & 1]
+        outside = [i for i in range(4) if not ((mask >> i) & 1)]
+        if len(inside) == 1:
+            i = inside[0]
+            table[mask, 0] = [[i, outside[0]], [i, outside[1]],
+                              [i, outside[2]]]
+        elif len(inside) == 3:
+            o = outside[0]
+            table[mask, 0] = [[inside[0], o], [inside[2], o], [inside[1], o]]
+        elif len(inside) == 2:
+            i0, i1 = inside
+            o0, o1 = outside
+            # quad (i0-o0, i0-o1, i1-o1, i1-o0) -> two triangles
+            table[mask, 0] = [[i0, o0], [i0, o1], [i1, o1]]
+            table[mask, 1] = [[i0, o0], [i1, o1], [i1, o0]]
+    return table
+
+
+TET_TABLE = _build_tet_table()
+MAX_TRIS_PER_CELL = 2 * len(TETS)   # 12
+
+
+def _cell_triangles(corner_pos, corner_val, inside_mask, observed_all):
+    """Triangles for a batch of cells.
+
+    corner_pos f32[..., 8, 3] (metric), corner_val f32[..., 8],
+    inside_mask bool[..., 8], observed_all bool[...].
+    Returns (tris f32[..., 12, 3, 3], valid bool[..., 12]).
+    """
+    tet_corners = jnp.asarray(TETS)          # [6, 4]
+    table = jnp.asarray(TET_TABLE)           # [16, 2, 3, 2]
+
+    tris = []
+    valids = []
+    for t in range(len(TETS)):
+        cidx = tet_corners[t]                                 # [4]
+        tv = corner_val[..., cidx]                            # [..., 4]
+        tp = corner_pos[..., cidx, :]                         # [..., 4, 3]
+        tin = inside_mask[..., cidx]                          # [..., 4]
+        mask = (tin[..., 0].astype(jnp.int32)
+                + 2 * tin[..., 1].astype(jnp.int32)
+                + 4 * tin[..., 2].astype(jnp.int32)
+                + 8 * tin[..., 3].astype(jnp.int32))          # [...]
+        entries = table[mask]                                 # [..., 2, 3, 2]
+        ia = jnp.maximum(entries[..., 0], 0)                  # [..., 2, 3]
+        ib = jnp.maximum(entries[..., 1], 0)
+        # gather endpoint values/positions via one-hot contraction (static
+        # 4-wide, fuses to VPU selects)
+        oh_a = jax.nn.one_hot(ia, 4, dtype=tv.dtype)          # [..., 2, 3, 4]
+        oh_b = jax.nn.one_hot(ib, 4, dtype=tv.dtype)
+        va = jnp.einsum("...ijk,...k->...ij", oh_a, tv)       # [..., 2, 3]
+        vb = jnp.einsum("...ijk,...k->...ij", oh_b, tv)
+        pa = jnp.einsum("...ijk,...kc->...ijc", oh_a, tp)     # [..., 2, 3, 3]
+        pb = jnp.einsum("...ijk,...kc->...ijc", oh_b, tp)
+        denom = vb - va
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        frac = ((0.0 - va) / denom)[..., None]
+        verts = pa + frac * (pb - pa)                         # [..., 2, 3, 3]
+        tri_valid = (entries[..., 0, 0] >= 0) & observed_all[..., None]
+        tris.append(verts)
+        valids.append(tri_valid)
+    return (jnp.concatenate(tris, axis=-3),
+            jnp.concatenate(valids, axis=-1))
+
+
+def _block_chunk_triangles(m: VoxelMap, channel: str, inside_fn, observed_fn,
+                           slots: jnp.ndarray):
+    """All candidate triangles for a chunk of block slots.
+
+    Returns (tris f32[n, 512, 12, 3, 3], valid bool[n, 512, 12]).
+    """
+    n = slots.shape[0]
+    bc = octree.block_coords_table(m)[slots]                 # [n, 3]
+    base = bc * BLOCK_SIDE
+    voxel_size = m.voxel_size
+
+    # cell base coords: all 8^3 cells of each block
+    r = jnp.arange(BLOCK_SIDE, dtype=jnp.int32)
+    cx, cy, cz = jnp.meshgrid(r, r, r, indexing="ij")
+    cell = jnp.stack([cx, cy, cz], -1).reshape(-1, 3)        # [512, 3]
+    cell = base[:, None, :] + cell[None, :, :]               # [n, 512, 3]
+
+    corners = cell[:, :, None, :] + jnp.asarray(CORNERS)[None, None]  # [n,512,8,3]
+    vx, vy, vz = corners[..., 0], corners[..., 1], corners[..., 2]
+    vals = {c.name: octree.get(m, c.name, vx, vy, vz) for c in m.channels}
+    fval = vals[channel].astype(jnp.float32)
+    observed = observed_fn(vals)
+    inside = inside_fn(fval)
+
+    # reference top-clamp (`meshing.hpp:183-186`): cells at the map border
+    # whose +1 corner would leave the volume are skipped
+    in_bounds = (cell < m.size - 1).all(axis=-1)
+    obs_all = observed.all(axis=-1) & in_bounds & (slots >= 0)[:, None]
+
+    pos = corners.astype(jnp.float32) * voxel_size
+    return _cell_triangles(pos, fval, inside, obs_all)
+
+
+def marching_cubes(m: VoxelMap, channel: str,
+                   inside: Callable = lambda f: f < 0.0,
+                   observed: Optional[Callable] = None,
+                   chunk: int = 64) -> np.ndarray:
+    """Extract the surface mesh; returns float32 [n_tris, 3, 3] (metric).
+
+    API parity with `algorithms::marching_cube` (`meshing.hpp:161-208`);
+    ``observed`` defaults to the reference's weight!=0 rule using the map's
+    second channel.
+    """
+    if observed is None:
+        other = [c.name for c in m.channels if c.name != channel]
+        w = other[0] if other else channel
+        observed = lambda vals: vals[w] != 0.0
+
+    n_blocks = int(m.n_blocks)
+    tri_chunks = []
+    fn = jax.jit(functools.partial(_block_chunk_triangles, inside_fn=inside,
+                                   observed_fn=observed, channel=channel),
+                 static_argnames=())
+    for s0 in range(0, max(n_blocks, 1), chunk):
+        idx = np.arange(s0, s0 + chunk, dtype=np.int32)
+        slots = jnp.asarray(np.where(idx < n_blocks, idx, -1))
+        tris, valid = fn(m, slots=slots)
+        tris = np.asarray(tris).reshape(-1, 3, 3)
+        valid = np.asarray(valid).reshape(-1)
+        tri_chunks.append(tris[valid])
+    if not tri_chunks:
+        return np.zeros((0, 3, 3), np.float32)
+    return np.concatenate(tri_chunks, axis=0)

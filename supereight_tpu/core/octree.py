@@ -14,11 +14,14 @@ the same information is held in flat, statically-shaped device arrays:
   integration touches contiguous memory), an ``active`` flag per slot and a
   bump count ``n_blocks``.  This mirrors what the reference's MemoryPool
   already is (`utils/memory_pool.hpp:64-76`): a flat iterable array of blocks.
-* node pyramid: coarse octree levels 0..block_level-1 stored as small dense
-  mip arrays ``{name: dtype[2^l,2^l,2^l]}`` plus an allocation mask.  These
-  carry the per-level ``Node::value_[]`` slots of `node.hpp:45-87` (used by
-  multi-scale occupancy fusion) without any pointers.  Even at size=2048 the
-  whole pyramid is < 3 MB.
+* node pyramid: coarse octree levels stored as small dense mip arrays
+  ``{name: dtype[2^l,2^l,2^l]}`` for l = 0..block_level plus an allocation
+  mask per level.  These carry the per-level ``Node::value_[8]`` child slots
+  of `node.hpp:45-87` (used by multi-scale occupancy fusion) without any
+  pointers: a reference Node at tree level l-1 stores values for its 8
+  children at granularity 2^l, so our level-l array holds exactly those child
+  slots, and allocating a node at level l-1 marks the 8 covered cells of
+  level l.  Even at size=2048 the whole pyramid is < 3 MB.
 
 Allocation (`octree.hpp:793-856` sort + unique_multiscale + parallel insert)
 becomes: scatter candidate block coords into a dense "wanted" mask, AND with
@@ -121,7 +124,7 @@ def init(size: int, dim: float, channels: Tuple[ChannelSpec, ...],
     block_level = _log2i(size) - BLOCK_BITS
     node_values = []
     node_alloc = []
-    for level in range(block_level):
+    for level in range(block_level + 1):
         s = 1 << level
         node_values.append({
             c.name: jnp.full((s, s, s), c.init, dtype=c.dtype) for c in channels
@@ -191,7 +194,7 @@ def get_multiscale(m: VoxelMap, channel: str, vx, vy, vz):
     spec = _channel(m, channel)
     val = jnp.full(jnp.shape(vx), spec.empty, dtype=spec.dtype)
     # Coarse levels, coarsest first, get overwritten by finer data when present.
-    for level in range(m.block_level):
+    for level in range(1, m.block_level + 1):
         shift = m.max_depth - level
         ox, oy, oz = vx >> shift, vy >> shift, vz >> shift
         s = 1 << level
@@ -300,15 +303,24 @@ def allocate_octants(m: VoxelMap, coords, levels, valid) -> VoxelMap:
     as_block = levels >= block_level
     m = allocate_blocks(m, coords >> BLOCK_BITS, valid & as_block)
 
+    # A node request at level l creates the node's 8 child value slots at
+    # granularity l+1 (reference Node::value_[8], projective node updates).
+    # Marking the slot that contains `coords` and its 7 siblings == marking
+    # the parent octant's full 2x2x2 child group.
     node_alloc = list(m.node_alloc)
     for level in range(block_level):
-        s = 1 << level
-        shift = m.max_depth - level
+        store = level + 1
+        s = 1 << store
+        shift = m.max_depth - store
         sel = valid & (levels == level)
-        ox = jnp.clip(coords[:, 0] >> shift, 0, s - 1)
-        oy = jnp.clip(coords[:, 1] >> shift, 0, s - 1)
-        oz = jnp.clip(coords[:, 2] >> shift, 0, s - 1)
-        node_alloc[level] = node_alloc[level].at[ox, oy, oz].max(sel)
+        # parent-aligned child-group origin, then all 8 siblings
+        ox = jnp.clip((coords[:, 0] >> shift) & ~1, 0, s - 1)
+        oy = jnp.clip((coords[:, 1] >> shift) & ~1, 0, s - 1)
+        oz = jnp.clip((coords[:, 2] >> shift) & ~1, 0, s - 1)
+        for cid in range(8):
+            node_alloc[store] = node_alloc[store].at[
+                ox + (cid & 1), oy + ((cid >> 1) & 1), oz + ((cid >> 2) & 1)
+            ].max(sel)
     return m.replace(node_alloc=node_alloc)
 
 
@@ -389,9 +401,11 @@ def leaves_count(m: VoxelMap):
 
 
 def nodes_count(m: VoxelMap):
+    """Allocated node count: each fully-marked 2x2x2 child group at level l
+    is one node at level l-1 (alloc always marks whole sibling groups)."""
     n = jnp.zeros((), jnp.int32)
-    for level in range(m.block_level):
-        n = n + jnp.sum(m.node_alloc[level].astype(jnp.int32))
+    for level in range(1, m.block_level + 1):
+        n = n + jnp.sum(m.node_alloc[level].astype(jnp.int32)) // 8
     return n + m.n_blocks
 
 

@@ -1,0 +1,130 @@
+"""Synthetic depth-sequence generator (scene2raw stand-in for CI/bench).
+
+The reference validates end-to-end against ICL-NUIM sequences converted by
+`se_tools/scene2raw.cpp`.  Networkless environments can't fetch ICL-NUIM, so
+this module renders an analytic room scene (known SDF -> exact depth + exact
+trajectory) into the same .raw + TUM ground-truth files.  ATE against this
+ground truth exercises exactly the same code paths.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import groundtruth, raw
+
+
+MARGIN = 0.45   # walls sit inside the volume so the TSDF band fits
+
+
+def scene_sdf(p, room_dim: float):
+    """Analytic scene: room interior + central sphere + a box; units meters.
+    ``p``[..., 3] in world coords; the room occupies
+    [MARGIN, room_dim-MARGIN]^3 so wall surfaces stay inside the map volume
+    (like ICL-NUIM's ~4 m room in supereight's 4.8 m canonical volume)."""
+    c = room_dim / 2.0
+    center = jnp.asarray([c, c, c])
+    # room: inside of the box [MARGIN, room_dim-MARGIN]^3 (negative in walls)
+    q = jnp.abs(p - center) - (c - MARGIN)
+    room = -(jnp.max(q, axis=-1))
+    # sphere
+    sph_c = center + jnp.asarray([0.0, 0.3, 0.0])
+    sphere = jnp.linalg.norm(p - sph_c, axis=-1) - 0.5
+    # box obstacle
+    box_c = center + jnp.asarray([-0.9, 0.6, 0.7])
+    bq = jnp.abs(p - box_c) - jnp.asarray([0.3, 0.4, 0.25])
+    box = (jnp.linalg.norm(jnp.maximum(bq, 0.0), axis=-1)
+           + jnp.minimum(jnp.max(bq, axis=-1), 0.0))
+    return jnp.minimum(room, jnp.minimum(sphere, box))
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "steps"))
+def render_depth(pose, k, room_dim, H: int, W: int, steps: int = 160):
+    """Exact depth (camera z, meters) by sphere tracing the analytic SDF."""
+    fx, fy, cx, cy = k[0], k[1], k[2], k[3]
+    x = jnp.arange(W, dtype=jnp.float32)[None, :]
+    y = jnp.arange(H, dtype=jnp.float32)[:, None]
+    # camera-space ray with unit z so that t == depth
+    dx = (jnp.broadcast_to(x, (H, W)) - cx) / fx
+    dy = (jnp.broadcast_to(y, (H, W)) - cy) / fy
+    dirs_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)
+    R = pose[:3, :3]
+    origin = pose[:3, 3]
+    dirs = jnp.einsum("ij,hwj->hwi", R, dirs_cam)
+
+    t = jnp.full((H, W), 0.05, jnp.float32)
+    done = jnp.zeros((H, W), bool)
+
+    def body(_, carry):
+        t, done = carry
+        p = origin + dirs * t[..., None]
+        f = scene_sdf(p, room_dim)
+        hit = f < 1e-4
+        # conservative step: scale SDF by ray norm (dirs are not unit)
+        dn = jnp.linalg.norm(dirs, axis=-1)
+        t = jnp.where(done | hit, t, t + jnp.maximum(f / dn, 1e-4))
+        return t, done | hit
+
+    t, done = jax.lax.fori_loop(0, steps, body, (t, done))
+    depth = jnp.where(done & (t < 2.0 * room_dim), t, 0.0)
+    return depth
+
+
+def orbit_poses(n: int, room_dim: float, radius: float = 1.1,
+                height_amp: float = 0.12, sweep: float = 1.5 * np.pi):
+    """Smooth orbit inside the room looking at the centre; returns [n, 4, 4]."""
+    c = room_dim / 2.0
+    center = np.array([c, c, c], np.float32)
+    poses = []
+    for i in range(n):
+        a = sweep * i / max(n - 1, 1)
+        eye = center + np.array([radius * np.cos(a),
+                                 height_amp * np.sin(2.5 * a),
+                                 radius * np.sin(a)], np.float32)
+        look = center - eye
+        z = look / np.linalg.norm(look)
+        up = np.array([0.0, -1.0, 0.0], np.float32)   # camera y down
+        xaxis = np.cross(up, z)
+        xaxis /= np.linalg.norm(xaxis)
+        yaxis = np.cross(z, xaxis)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = xaxis, yaxis, z, eye
+        poses.append(T)
+    return np.stack(poses)
+
+
+DEFAULT_K = (120.0, 120.0, 160.0, 120.0)   # for 320x240
+
+
+def generate_sequence(n_frames: int, H: int = 240, W: int = 320,
+                      room_dim: float = 4.8, k=None):
+    """Render an orbit sequence; returns (depths_mm uint16 [n,H,W],
+    poses [n,4,4], k)."""
+    if k is None:
+        k = (DEFAULT_K[0] * W / 320.0, DEFAULT_K[1] * H / 240.0,
+             W / 2.0, H / 2.0)
+    k_arr = jnp.asarray(k, jnp.float32)
+    poses = orbit_poses(n_frames, room_dim)
+    frames = []
+    for i in range(n_frames):
+        d = render_depth(jnp.asarray(poses[i]), k_arr, room_dim, H, W)
+        frames.append(np.asarray(
+            np.clip(np.asarray(d) * 1000.0, 0, 65535)).astype(np.uint16))
+    return np.stack(frames), poses, np.asarray(k, np.float32)
+
+
+def write_dataset(prefix: str, n_frames: int, H: int = 240, W: int = 320,
+                  room_dim: float = 4.8, k=None):
+    """Write ``<prefix>.raw`` + ``<prefix>.gt`` (scene2raw equivalent)."""
+    depths, poses, k = generate_sequence(n_frames, H, W, room_dim, k)
+    w = raw.RawWriter(prefix + ".raw", W, H)
+    for d in depths:
+        w.write(d)
+    w.close()
+    groundtruth.write_poses(prefix + ".gt", poses)
+    return prefix + ".raw", prefix + ".gt", k

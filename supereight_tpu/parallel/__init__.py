@@ -1,0 +1,7 @@
+"""Multi-device scale-out: map-space sharding + collectives.
+
+See SURVEY.md section 7 step 8.  The reference has no distributed layer
+(OpenMP only, section 2.4); this is the TPU-native extension.
+"""
+
+from .sharding import (MAP_AXIS, make_mesh, map_sharding, shard_state)  # noqa: F401

@@ -1,0 +1,266 @@
+"""DenseSLAMSystem: the pipeline facade.
+
+Reference: `se_denseslam/include/se/DenseSLAMSystem.h:58-411` and
+`se_denseslam/src/DenseSLAMSystem.cpp` — holds pose, reference maps, the
+voxel map, and exposes preprocessing / tracking / integration / raycasting /
+render* / dump_mesh / save / load.
+
+TPU design: all per-frame state lives in one ``FrameState`` pytree and the
+whole frame (preprocess -> track -> integrate -> raycast) compiles into a
+SINGLE jitted device program — no host round-trips inside a frame, which is
+where the reference's 19 sequential kernel launches per frame
+(`DenseSLAMSystem.cpp:169-185`) would otherwise dominate.  Stage gating
+(tracking_rate / integration_rate / frame<=3) uses ``lax.cond`` in-graph.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from supereight_tpu.config import Configuration
+from supereight_tpu.core import octree
+from supereight_tpu.fields import make_field
+from . import camera, integration, preprocessing, raycast, rendering, tracking
+from .constants import FAR_PLANE, INVALID, NEAR_PLANE
+
+
+class FrameState(struct.PyTreeNode):
+    map: octree.VoxelMap
+    pose: jnp.ndarray           # camera-to-world [4,4]
+    raycast_pose: jnp.ndarray   # pose of the last reference raycast
+    float_depth: jnp.ndarray    # unfiltered metric depth [H,W] (integration)
+    scaled_depth: jnp.ndarray   # filtered depth [H,W] (tracking pyramid)
+    ref_vertex: jnp.ndarray     # [H,W,3] model vertices from last raycast
+    ref_normal: jnp.ndarray     # [H,W,3]
+    track_result: jnp.ndarray   # int32[H,W] ICP status image
+    tracked: jnp.ndarray        # bool scalar
+    integrated: jnp.ndarray     # bool scalar
+
+
+class DenseSLAMSystem:
+    """Stateful facade over the functional pipeline (API parity with
+    `DenseSLAMSystem.h`).  ``step()`` runs one fused frame."""
+
+    def __init__(self, input_size: Tuple[int, int],
+                 config: Configuration):
+        self.config = config
+        ratio = config.compute_size_ratio
+        self.input_size = input_size                       # (H, W)
+        self.H = input_size[0] // ratio
+        self.W = input_size[1] // ratio
+        self.size = config.volume_resolution[0]
+        self.dim = float(config.volume_size[0])
+        self.mu = config.mu
+        self.iterations = tuple(config.pyramid)
+
+        voxel_size = self.dim / self.size
+        if config.field_type == "sdf":
+            self.field = make_field("sdf", mu=config.mu)
+        else:
+            self.field = make_field("ofusion", mu=config.mu,
+                                    voxel_size=voxel_size)
+
+        init_t = jnp.asarray([
+            config.initial_pos_factor[0] * config.volume_size[0],
+            config.initial_pos_factor[1] * config.volume_size[1],
+            config.initial_pos_factor[2] * config.volume_size[2],
+        ], jnp.float32)
+        self.init_pose = camera.pose_from_translation(init_t)
+
+        capacity = config.block_capacity
+        self.state = init_state(self.size, self.dim, self.field,
+                                self.H, self.W, self.init_pose,
+                                capacity=capacity)
+
+        # static allocation parameters
+        import math
+        band = self.field.alloc_band()
+        self.sdf_alloc_steps = max(1, int(math.ceil(band / voxel_size)))
+        self.ofusion_schedule = integration.ofusion_step_schedule(
+            band, voxel_size, FAR_PLANE + band,
+            int(math.log2(self.size)), self.state.map.block_level) \
+            if config.field_type == "ofusion" else None
+
+        self._step = jax.jit(
+            functools.partial(
+                process_frame,
+                field=self.field,
+                iterations=self.iterations,
+                tracking_rate=config.tracking_rate,
+                integration_rate=config.integration_rate,
+                bilateral=config.bilateral_filter,
+                icp_threshold=config.icp_threshold,
+                sdf_alloc_steps=self.sdf_alloc_steps,
+                ofusion_schedule=self.ofusion_schedule,
+            ),
+            static_argnames=("use_gt", "neg_y"))
+
+    # ---- reference-parity accessors ----
+
+    def getPosition(self):
+        return self.state.pose[:3, 3]
+
+    def getPose(self):
+        return self.state.pose
+
+    def setPose(self, pose):
+        self.state = self.state.replace(pose=jnp.asarray(pose, jnp.float32))
+
+    def setViewPose(self, pose=None):
+        self._view_pose = pose
+
+    def getMap(self):
+        return self.state.map
+
+    # ---- main entry ----
+
+    def step(self, depth_mm, k, frame: int, gt_pose=None):
+        """Process one frame (the benchmark.cpp:115-158 loop body).
+
+        ``depth_mm`` uint16 [H_in, W_in] millimetre depth; ``k`` (fx,fy,cx,cy)
+        at computation resolution; ``gt_pose`` bypasses ICP like the
+        reference's ground-truth mode (`mainQt.cpp:257-265`).
+        """
+        use_gt = gt_pose is not None
+        if gt_pose is None:
+            gt_pose = jnp.eye(4, dtype=jnp.float32)
+        neg_y = bool(k[1] < 0)   # NegY normals for ICL-NUIM's flipped y
+        self.state = self._step(self.state, jnp.asarray(depth_mm),
+                                jnp.asarray(k, jnp.float32),
+                                jnp.asarray(frame, jnp.int32),
+                                jnp.asarray(gt_pose, jnp.float32),
+                                use_gt=use_gt, neg_y=neg_y)
+        return self.state
+
+    # ---- renderers ----
+
+    def renderDepth(self):
+        return rendering.render_depth(self.state.scaled_depth)
+
+    def renderTrack(self):
+        return rendering.render_track(self.state.track_result)
+
+    def renderVolume(self, view_pose=None, k=None):
+        st = self.state
+        if view_pose is None:
+            return rendering.render_volume(
+                st.map, self.field, None, self.H, self.W,
+                vertex=st.ref_vertex, normal=st.ref_normal)
+        view = jnp.asarray(view_pose, jnp.float32) @ \
+            camera.inverse_camera_matrix(jnp.asarray(k, jnp.float32))
+        return rendering.render_volume(st.map, self.field, view,
+                                       self.H, self.W)
+
+    def dump_mesh(self, filename: str):
+        from supereight_tpu.core import meshing
+        from supereight_tpu.io import vtk as vtk_io
+        tris = meshing.marching_cubes(self.state.map,
+                                      self.field.select_channel,
+                                      inside=self.field.is_inside)
+        vtk_io.write_vtk_mesh(filename, tris)
+        return tris
+
+
+def init_state(size: int, dim: float, field, H: int, W: int,
+               init_pose, capacity: Optional[int] = None) -> FrameState:
+    m = octree.init(size, dim, field.channels, capacity=capacity)
+    z3 = jnp.zeros((H, W, 3), jnp.float32)
+    invalid_n = z3.at[..., 0].set(INVALID)
+    return FrameState(
+        map=m,
+        pose=jnp.asarray(init_pose, jnp.float32),
+        raycast_pose=jnp.asarray(init_pose, jnp.float32),
+        float_depth=jnp.zeros((H, W), jnp.float32),
+        scaled_depth=jnp.zeros((H, W), jnp.float32),
+        ref_vertex=z3,
+        ref_normal=invalid_n,
+        track_result=jnp.zeros((H, W), jnp.int32),
+        tracked=jnp.zeros((), bool),
+        integrated=jnp.zeros((), bool),
+    )
+
+
+def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
+                  *, field, iterations, tracking_rate, integration_rate,
+                  bilateral, icp_threshold, sdf_alloc_steps,
+                  ofusion_schedule, use_gt: bool, neg_y: bool) -> FrameState:
+    """One full SLAM frame as a pure function (jit target)."""
+    H, W = state.float_depth.shape
+    m = state.map
+
+    # ---- preprocessing (`DenseSLAMSystem.cpp:128-141`) ----
+    if depth_mm.dtype == jnp.uint16:
+        float_depth = preprocessing.mm_to_meters(depth_mm, (H, W))
+    else:
+        ih, iw = depth_mm.shape
+        ratio = iw // W
+        float_depth = depth_mm[::ratio, ::ratio].astype(jnp.float32)
+    if bilateral:
+        scaled_depth = preprocessing.bilateral_filter(float_depth)
+    else:
+        scaled_depth = float_depth
+
+    # ---- tracking (`DenseSLAMSystem.cpp:143-189`) ----
+    # NegY normal orientation follows fy < 0 (`DenseSLAMSystem.cpp:159-162`)
+    depths, vertices, normals = preprocessing.build_pyramid(
+        scaled_depth, k, len(iterations), neg_y=neg_y)
+
+    if use_gt:
+        pose = gt_pose
+        tracked = jnp.ones((), bool)
+        track_result = state.track_result
+    else:
+        do_track = (frame % tracking_rate) == 0
+        new_pose, ok, td = tracking.track(
+            state.pose, depths, vertices, normals, state.ref_vertex,
+            state.ref_normal, state.raycast_pose, k, iterations,
+            icp_threshold)
+        pose = jnp.where(do_track, new_pose, state.pose)
+        tracked = do_track & ok
+        track_result = jnp.where(do_track, td.result, state.track_result)
+
+    # ---- integration (`DenseSLAMSystem.cpp:206-268`) ----
+    do_integrate = (tracked | (frame <= 3)) & \
+        (((frame % integration_rate) == 0) | (frame <= 3))
+    K = camera.camera_matrix(k)
+    timestamp = (1.0 / 30.0) * frame.astype(jnp.float32)
+
+    def integrate_fn(m):
+        band = field.alloc_band()
+        if field.multiscale_alloc:
+            m = integration.allocate_ofusion(m, float_depth, pose, K, band,
+                                             ofusion_schedule)
+        else:
+            m = integration.allocate_sdf(m, float_depth, pose, K, band,
+                                         sdf_alloc_steps)
+        return integration.integrate(m, field, float_depth, pose, K,
+                                     timestamp=timestamp)
+
+    m = jax.lax.cond(do_integrate, integrate_fn, lambda m: m, m)
+
+    # ---- raycasting (`DenseSLAMSystem.cpp:191-204`) ----
+    do_raycast = frame > 2
+
+    def raycast_fn(args):
+        m, pose = args
+        view = pose @ camera.inverse_camera_matrix(k)
+        rc = raycast.raycast(m, field, view, H, W, NEAR_PLANE, FAR_PLANE)
+        return rc.vertex, rc.normal, pose
+
+    def skip_fn(args):
+        return state.ref_vertex, state.ref_normal, state.raycast_pose
+
+    ref_vertex, ref_normal, raycast_pose = jax.lax.cond(
+        do_raycast, raycast_fn, skip_fn, (m, pose))
+
+    return state.replace(
+        map=m, pose=pose, raycast_pose=raycast_pose,
+        float_depth=float_depth, scaled_depth=scaled_depth,
+        ref_vertex=ref_vertex, ref_normal=ref_normal,
+        track_result=track_result, tracked=tracked,
+        integrated=do_integrate)

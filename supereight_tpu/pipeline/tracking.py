@@ -1,0 +1,171 @@
+"""Projective point-to-plane ICP tracking.
+
+Reference: `se_denseslam/src/tracking.cpp` — trackKernel (per-pixel residual
++ 6-Jacobian with failure codes -1..-5), reduceKernel (32-wide partial sums),
+makeJTJ + LLT solve, Sophus SE3 exp pose update, divergence check.
+
+TPU design: the per-pixel kernel is one fused batched computation; the
+8-stripe OpenMP scalar reduction collapses to ``jnp.sum`` (a single XLA
+reduce, and a ``psum`` over ICI when image-sharded); the inner iteration loop
+runs as ``lax.while_loop`` with an in-graph convergence test so one tracking
+call is a single device program with no host round-trips
+(SURVEY.md section 7 hard part (b)).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import camera
+from .constants import (DIST_THRESHOLD, INVALID, NORMAL_THRESHOLD,
+                        TRACK_THRESHOLD)
+
+
+class TrackData(NamedTuple):
+    """Per-pixel ICP result (`commons.h:249-253`). ``result`` codes:
+    1 ok, -1 no input normal, -2 out of frame, -3 no reference normal,
+    -4 too far, -5 bad normal agreement."""
+    result: jnp.ndarray   # int32[H, W]
+    error: jnp.ndarray    # f32[H, W]
+    J: jnp.ndarray        # f32[H, W, 6]
+
+
+def track_kernel(in_vertex, in_normal, ref_vertex, ref_normal,
+                 Ttrack, view,
+                 dist_threshold=DIST_THRESHOLD,
+                 normal_threshold=NORMAL_THRESHOLD) -> TrackData:
+    """Per-pixel projective data association (`tracking.cpp:226-302`).
+
+    ``in_*`` are level-resolution maps, ``ref_*`` full-resolution maps from
+    the last raycast; ``view`` = K @ inv(raycast_pose) at full resolution.
+    """
+    rH, rW = ref_vertex.shape[:2]
+
+    proj_vertex = camera.transform_points(Ttrack, in_vertex)       # world
+    proj_pos = camera.transform_points(view, proj_vertex)          # cam px
+    z = proj_pos[..., 2]
+    zsafe = jnp.where(z == 0, 1.0, z)
+    px = proj_pos[..., 0] / zsafe + 0.5
+    py = proj_pos[..., 1] / zsafe + 0.5
+
+    no_in_normal = in_normal[..., 0] == INVALID
+    in_frame = (px >= 0) & (px <= rW - 1) & (py >= 0) & (py <= rH - 1)
+
+    ix = jnp.clip(px.astype(jnp.int32), 0, rW - 1)
+    iy = jnp.clip(py.astype(jnp.int32), 0, rH - 1)
+    ref_n = ref_normal[iy, ix]
+    ref_v = ref_vertex[iy, ix]
+
+    no_ref_normal = ref_n[..., 0] == INVALID
+    diff = ref_v - proj_vertex
+    proj_normal = camera.rotate_vectors(Ttrack, in_normal)
+    too_far = jnp.linalg.norm(diff, axis=-1) > dist_threshold
+    bad_normal = jnp.sum(proj_normal * ref_n, axis=-1) < normal_threshold
+
+    result = jnp.full(px.shape, 1, jnp.int32)
+    result = jnp.where(bad_normal, -5, result)
+    result = jnp.where(too_far, -4, result)
+    result = jnp.where(no_ref_normal, -3, result)
+    result = jnp.where(~in_frame, -2, result)
+    result = jnp.where(no_in_normal, -1, result)
+
+    error = jnp.sum(ref_n * diff, axis=-1)
+    J = jnp.concatenate([ref_n, jnp.cross(proj_vertex, ref_n)], axis=-1)
+    ok = (result == 1)[..., None]
+    return TrackData(result=result,
+                     error=jnp.where(ok[..., 0], error, 0.0),
+                     J=jnp.where(ok, J, 0.0))
+
+
+def reduce_kernel(td: TrackData):
+    """Normal-equation sums (`tracking.cpp:66-224`): returns
+    (error2, JTe[6], JTJ[6,6], count, miss_counts[3]).  The reference's
+    8x32 stripe buffer + tree merge is just one ``jnp.sum`` on TPU."""
+    ok = (td.result == 1).astype(jnp.float32)
+    w = ok[..., None]
+    error2 = jnp.sum(ok * td.error * td.error)
+    JTe = jnp.sum(w * td.error[..., None] * td.J, axis=(0, 1))
+    Jw = w * td.J
+    JTJ = jnp.einsum("hwi,hwj->ij", Jw, td.J)
+    count = jnp.sum(ok)
+    miss = jnp.stack([
+        jnp.sum((td.result == -4).astype(jnp.float32)),
+        jnp.sum((td.result == -5).astype(jnp.float32)),
+        jnp.sum(((td.result < 1) & (td.result > -4)).astype(jnp.float32)),
+    ])
+    return error2, JTe, JTJ, count, miss
+
+
+def solve_normal_equations(JTe, JTJ):
+    """6x6 LLT solve (`tracking.cpp:57-64`); zero twist if not SPD."""
+    L = jnp.linalg.cholesky(JTJ)
+    y = jax.scipy.linalg.solve_triangular(L, JTe, lower=True)
+    x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    bad = jnp.any(jnp.isnan(x)) | jnp.any(jnp.isinf(x))
+    return jnp.where(bad, jnp.zeros_like(x), x)
+
+
+class TrackState(NamedTuple):
+    pose: jnp.ndarray          # [4,4]
+    error2: jnp.ndarray        # scalar: last reduction error^2 sum
+    count: jnp.ndarray         # scalar: last reduction inlier count
+    converged: jnp.ndarray     # bool
+    iteration: jnp.ndarray     # int32
+
+
+def _level_loop(state: TrackState, n_iters: int, in_vertex, in_normal,
+                ref_vertex, ref_normal, view, icp_threshold):
+    """`DenseSLAMSystem.cpp:173-185`: iterate track+reduce+update with early
+    exit on ||twist|| < icp_threshold, as one lax.while_loop."""
+
+    def cond(st: TrackState):
+        return (st.iteration < n_iters) & ~st.converged
+
+    def body(st: TrackState):
+        td = track_kernel(in_vertex, in_normal, ref_vertex, ref_normal,
+                          st.pose, view)
+        error2, JTe, JTJ, count, _ = reduce_kernel(td)
+        x = solve_normal_equations(JTe, JTJ)
+        delta = camera.se3_exp(x)
+        pose = delta @ st.pose
+        converged = jnp.linalg.norm(x) < icp_threshold
+        return TrackState(pose=pose, error2=error2, count=count,
+                          converged=converged, iteration=st.iteration + 1)
+
+    st = jax.lax.while_loop(cond, body, state._replace(
+        converged=jnp.zeros((), bool), iteration=jnp.zeros((), jnp.int32)))
+    return st
+
+
+def track(pose, depths, vertices, normals, ref_vertex, ref_normal,
+          raycast_pose, k, iterations: Sequence[int],
+          icp_threshold: float,
+          track_threshold: float = TRACK_THRESHOLD):
+    """Full coarse-to-fine tracking (`DenseSLAMSystem.cpp:143-189`).
+
+    Returns (new_pose, tracked, TrackData at full res for renderTrack).
+    ``iterations`` e.g. (10, 5, 4): index = level, coarsest executed first.
+    """
+    view = camera.camera_matrix(k) @ jnp.linalg.inv(raycast_pose)
+    old_pose = pose
+    st = TrackState(pose=pose, error2=jnp.zeros(()), count=jnp.zeros(()),
+                    converged=jnp.zeros((), bool),
+                    iteration=jnp.zeros((), jnp.int32))
+    for level in range(len(iterations) - 1, -1, -1):
+        st = _level_loop(st, iterations[level], vertices[level],
+                         normals[level], ref_vertex, ref_normal, view,
+                         icp_threshold)
+
+    # divergence check (`tracking.cpp:320-336`)
+    H, W = vertices[0].shape[:2]
+    rmse = jnp.sqrt(st.error2 / jnp.maximum(st.count, 1.0))
+    ok = (rmse <= 2e-2) & (st.count / (H * W) >= track_threshold)
+    new_pose = jnp.where(ok, st.pose, old_pose)
+
+    td = track_kernel(vertices[0], normals[0], ref_vertex, ref_normal,
+                      new_pose, view)
+    return new_pose, ok, td

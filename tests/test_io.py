@@ -1,0 +1,115 @@
+"""IO tests: .raw roundtrip, TUM ground truth, map checkpoints, VTK/PLY."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from supereight_tpu.io import groundtruth, raw, serialise, synthetic, vtk
+from supereight_tpu.core import octree
+from supereight_tpu.core.octree import ChannelSpec
+
+
+class TestRaw:
+    def test_roundtrip(self, tmp_path):
+        path = str(tmp_path / "t.raw")
+        w = raw.RawWriter(path, 16, 12)
+        d0 = (np.arange(12 * 16).reshape(12, 16) % 5000).astype(np.uint16)
+        rgb = np.random.default_rng(0).integers(
+            0, 255, (12, 16, 3)).astype(np.uint8)
+        w.write(d0, rgb)
+        w.write(d0 * 2)
+        w.close()
+        r = raw.RawReader(path)
+        assert (r.width, r.height, len(r)) == (16, 12, 2)
+        depth, rgb2 = r.read(0)
+        np.testing.assert_array_equal(depth, d0)
+        np.testing.assert_array_equal(rgb2, rgb)
+        depth1, _ = r.read(1)
+        np.testing.assert_array_equal(depth1, d0 * 2)
+
+
+class TestGroundTruth:
+    def test_pose_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(1)
+        poses = []
+        for _ in range(5):
+            w = rng.normal(size=3)
+            from supereight_tpu.pipeline import camera
+            T = np.asarray(camera.se3_exp(
+                jnp.asarray([*rng.normal(size=3) * 0.5, *w * 0.4],
+                            jnp.float32)))
+            poses.append(T)
+        path = str(tmp_path / "gt.txt")
+        groundtruth.write_poses(path, poses)
+        loaded = groundtruth.read_poses(path)
+        for a, b in zip(poses, loaded):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_transform_applied(self, tmp_path):
+        path = str(tmp_path / "gt.txt")
+        groundtruth.write_poses(path, [np.eye(4)])
+        Tr = np.eye(4, dtype=np.float32)
+        Tr[:3, 3] = (1, 2, 3)
+        loaded = groundtruth.read_poses(path, transform=Tr)
+        np.testing.assert_allclose(loaded[0][:3, 3], (1, 2, 3), atol=1e-6)
+
+    def test_comment_and_extra_cols(self, tmp_path):
+        path = str(tmp_path / "gt.txt")
+        with open(path, "w") as f:
+            f.write("# comment\n")
+            f.write("123.4 0.5 1 2 3 0 0 0 1\n")  # ts + 7 cols (+1 extra)
+        loaded = groundtruth.read_poses(path)
+        np.testing.assert_allclose(loaded[0][:3, 3], (1, 2, 3), atol=1e-6)
+
+
+class TestSerialise:
+    def test_map_checkpoint_roundtrip(self, tmp_path):
+        chans = (ChannelSpec(name="v", dtype=jnp.float32, init=0.0,
+                             empty=-1.0),)
+        m = octree.init(32, 2.0, chans, capacity=128)
+        m = octree.allocate_blocks(
+            m, jnp.asarray([[0, 0, 0], [2, 3, 1]]), jnp.ones((2,), bool))
+        m = octree.set_voxels(m, "v", jnp.asarray([1]), jnp.asarray([2]),
+                              jnp.asarray([3]), jnp.asarray([7.5]))
+        path = str(tmp_path / "map.npz")
+        serialise.save_map(path, m)
+        m2 = serialise.load_map(path)
+        assert int(m2.n_blocks) == 2
+        assert float(octree.get(m2, "v", 1, 2, 3)) == 7.5
+        np.testing.assert_array_equal(np.asarray(m.block_index),
+                                      np.asarray(m2.block_index))
+
+
+class TestVtk:
+    def test_mesh_files_written(self, tmp_path):
+        tris = np.zeros((2, 3, 3), np.float32)
+        tris[0] = [[0, 0, 0], [1, 0, 0], [0, 1, 0]]
+        tris[1] = [[1, 1, 1], [2, 1, 1], [1, 2, 1]]
+        pv = str(tmp_path / "m.vtk")
+        pp = str(tmp_path / "m.ply")
+        vtk.write_vtk_mesh(pv, tris)
+        vtk.write_ply_mesh(pp, tris)
+        assert "POLYGONS 2" in open(pv).read()
+        assert "element face 2" in open(pp).read()
+
+    def test_slice_export(self, tmp_path):
+        chans = (ChannelSpec(name="v", dtype=jnp.float32, init=0.0,
+                             empty=-1.0),)
+        m = octree.init(32, 2.0, chans, capacity=64)
+        p = str(tmp_path / "s.vtk")
+        vtk.save_3d_slice(p, m, "v", (0, 0, 0), (4, 4, 2))
+        content = open(p).read()
+        assert "DIMENSIONS 4 4 2" in content
+
+
+class TestSynthetic:
+    def test_dataset_files(self, tmp_path):
+        prefix = str(tmp_path / "seq")
+        rawp, gtp, k = synthetic.write_dataset(prefix, 3, H=24, W=32)
+        r = raw.RawReader(rawp)
+        assert len(r) == 3
+        poses = groundtruth.read_poses(gtp)
+        assert len(poses) == 3
+        d, _ = r.read(0)
+        assert d.max() > 500   # something visible in mm

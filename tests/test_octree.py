@@ -103,14 +103,18 @@ class TestGetSet:
 
     def test_multiscale_fallback(self):
         m = make_map(size=64)
-        # allocate a coarse octant at level 1 (side 32) covering origin
+        # allocate a coarse octant at level 1 (side 32) covering the origin;
+        # its value slots live at child granularity (level 2), matching the
+        # reference Node::value_[8] layout (node.hpp:45-87)
         coords = jnp.array([[0, 0, 0]], jnp.int32)
         m = octree.allocate_octants(m, coords, jnp.array([1]),
                                     jnp.ones((1,), bool))
-        nv = dict(m.node_values[1])
+        assert bool(m.node_alloc[2][0, 0, 0])
+        assert bool(m.node_alloc[2][1, 1, 1])  # whole sibling group marked
+        nv = dict(m.node_values[2])
         nv["v"] = nv["v"].at[0, 0, 0].set(42.0)
         node_values = list(m.node_values)
-        node_values[1] = nv
+        node_values[2] = nv
         m = m.replace(node_values=node_values)
         assert float(octree.get_multiscale(m, "v", 3, 3, 3)) == 42.0
         # outside the allocated coarse octant -> empty

@@ -1,0 +1,193 @@
+"""End-to-end pipeline tests on the synthetic analytic scene.
+
+Mirrors the reference's two-tier strategy (SURVEY.md section 4): core data
+structure unit tests + trajectory-level validation.  Uses tiny image/map
+sizes so the CPU-backend compile stays fast.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from supereight_tpu.config import Configuration
+from supereight_tpu.pipeline import DenseSLAMSystem
+from supereight_tpu.fields import make_field
+from supereight_tpu.io.synthetic import orbit_poses, render_depth
+
+H, W = 60, 80
+K4 = np.array([60.0 * W / 160, 60.0 * H / 120, W / 2.0, H / 2.0], np.float32)
+DIM = 4.8
+
+
+def make_seq(n, sweep):
+    poses = orbit_poses(n, DIM, sweep=sweep)
+    depths = np.stack([
+        np.asarray(render_depth(jnp.asarray(p), jnp.asarray(K4), DIM, H, W))
+        for p in poses])
+    return (np.clip(depths * 1000, 0, 65535).astype(np.uint16), poses)
+
+
+def make_slam(field="sdf", size=128):
+    # 128^3 over 4.8 m -> 3.75 cm voxels; at 64^3 the TSDF quantization
+    # error alone exceeds the 2 cm divergence gate (`tracking.cpp:328`)
+    cfg = Configuration(volume_resolution=(size,) * 3,
+                        volume_size=(DIM,) * 3, pyramid=(4, 3, 2),
+                        block_capacity=4096, integration_rate=1,
+                        field_type=field)
+    return DenseSLAMSystem((H, W), cfg)
+
+
+class TestSDFPipeline:
+    @pytest.fixture(scope="class")
+    def run(self):
+        depths, poses = make_seq(8, sweep=0.06)
+        slam = make_slam()
+        slam.setPose(poses[0])
+        states = []
+        for i in range(8):
+            states.append(slam.step(depths[i], K4, i))
+        return slam, states, poses, depths
+
+    def test_map_allocates_surface(self, run):
+        slam, states, poses, depths = run
+        assert int(states[-1].map.n_blocks) > 50
+        assert int(states[-1].map.overflow) == 0
+
+    def test_tracking_converges(self, run):
+        slam, states, poses, depths = run
+        assert bool(states[-1].tracked)
+        err = np.linalg.norm(
+            np.asarray(states[-1].pose)[:3, 3] - poses[-1][:3, 3])
+        assert err < 0.1   # within ~1 voxel at 64^3/4.8m
+
+    def test_raycast_depth_accuracy(self, run):
+        slam, states, poses, depths = run
+        st = states[-1]
+        rn = np.asarray(st.ref_normal)
+        valid = rn[..., 0] != -2.0
+        assert valid.mean() > 0.75
+        # raycast vertices reproject to approximately the true depth
+        rv = np.asarray(st.ref_vertex)
+        T_wc = np.linalg.inv(np.asarray(st.raycast_pose))
+        pc = (rv @ T_wc[:3, :3].T) + T_wc[:3, 3]
+        zc = pc[..., 2]
+        true_d = depths[-1].astype(np.float32) / 1000.0
+        mask = valid & (true_d > 0)
+        err = np.abs(zc - true_d)[mask]
+        assert np.median(err) < 0.15   # two voxels
+
+    def test_normals_unit_length(self, run):
+        slam, states, _, _ = run
+        rn = np.asarray(states[-1].ref_normal)
+        valid = rn[..., 0] != -2.0
+        norms = np.linalg.norm(rn[valid], axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+    def test_groundtruth_mode_bypasses_icp(self, run):
+        depths, poses = make_seq(4, sweep=0.03)
+        slam = make_slam()
+        for i in range(4):
+            st = slam.step(depths[i], K4, i, gt_pose=poses[i])
+        np.testing.assert_allclose(np.asarray(st.pose), poses[3], atol=1e-6)
+        assert bool(st.tracked)
+
+    def test_render_outputs(self, run):
+        slam, states, _, _ = run
+        d = np.asarray(slam.renderDepth())
+        t = np.asarray(slam.renderTrack())
+        v = np.asarray(slam.renderVolume())
+        for img in (d, t, v):
+            assert img.shape == (H, W, 4) and img.dtype == np.uint8
+        assert v.max() > 0   # something was shaded
+
+
+class TestOFusionPipeline:
+    def test_ofusion_end_to_end(self):
+        depths, poses = make_seq(6, sweep=0.04)
+        cfg = Configuration(volume_resolution=(64,) * 3,
+                            volume_size=(DIM,) * 3, pyramid=(4, 3, 2),
+                            block_capacity=4096, integration_rate=1,
+                            field_type="ofusion", mu=0.03)
+        slam = DenseSLAMSystem((H, W), cfg)
+        for i in range(6):
+            st = slam.step(depths[i], K4, i, gt_pose=poses[i])
+        m = st.map
+        assert int(m.n_blocks) > 30
+        # occupancy becomes positive at the observed surface
+        occ = np.asarray(m.voxels["occupancy"])
+        live = np.arange(m.capacity) < int(m.n_blocks)
+        assert occ[live].max() > 1.0
+        assert occ[live].min() < -1.0  # free space carved
+        # raycast finds surfaces
+        rn = np.asarray(st.ref_normal)
+        assert (rn[..., 0] != -2.0).mean() > 0.5
+
+    def test_multiscale_nodes_allocated(self):
+        depths, poses = make_seq(2, sweep=0.01)
+        cfg = Configuration(volume_resolution=(64,) * 3,
+                            volume_size=(DIM,) * 3, pyramid=(4, 3, 2),
+                            block_capacity=4096, integration_rate=1,
+                            field_type="ofusion", mu=0.03)
+        slam = DenseSLAMSystem((H, W), cfg)
+        st = slam.step(depths[0], K4, 0, gt_pose=poses[0])
+        # coarse allocation along rays far from surface
+        total_nodes = sum(int(a.sum()) for a in st.map.node_alloc)
+        assert total_nodes > 0
+
+
+class TestFieldUpdates:
+    def test_sdf_update_formula(self):
+        f = make_field("sdf", mu=0.1)
+        data = {"tsdf": jnp.asarray([1.0]), "weight": jnp.asarray([0.0])}
+        # voxel at z=2.0 on axis, surface depth 2.05 -> diff=0.05, sdf=0.5
+        pos = jnp.asarray([[0.0, 0.0, 2.0]])
+        out = f.update(data, pos, jnp.asarray([2.05]),
+                       jnp.asarray([True]), 0.0)
+        np.testing.assert_allclose(float(out["tsdf"][0]), 0.5, atol=1e-6)
+        assert float(out["weight"][0]) == 1.0
+
+    def test_sdf_update_skips_behind_band(self):
+        f = make_field("sdf", mu=0.1)
+        data = {"tsdf": jnp.asarray([0.3]), "weight": jnp.asarray([5.0])}
+        # voxel 0.5m behind the surface: diff = -0.5 < -mu -> untouched
+        pos = jnp.asarray([[0.0, 0.0, 2.5]])
+        out = f.update(data, pos, jnp.asarray([2.0]),
+                       jnp.asarray([True]), 0.0)
+        assert float(out["tsdf"][0]) == pytest.approx(0.3)
+        assert float(out["weight"][0]) == 5.0
+
+    def test_sdf_weight_cap(self):
+        f = make_field("sdf", mu=0.1, max_weight=100.0)
+        data = {"tsdf": jnp.asarray([0.0]), "weight": jnp.asarray([100.0])}
+        pos = jnp.asarray([[0.0, 0.0, 2.0]])
+        out = f.update(data, pos, jnp.asarray([2.0]),
+                       jnp.asarray([True]), 0.0)
+        assert float(out["weight"][0]) == 100.0
+
+    def test_ofusion_bspline_cdf(self):
+        from supereight_tpu.fields.ofusion import bspline_cdf, h_occupancy
+        # reference formula spot checks (`mapping_impl.hpp:94-106`)
+        assert float(bspline_cdf(-4.0)) == 0.0
+        assert float(bspline_cdf(4.0)) == 1.0
+        np.testing.assert_allclose(float(bspline_cdf(0.0)), 0.5 + (0 * 3 * 3) / 24.0)
+        np.testing.assert_allclose(float(bspline_cdf(-2.0)),
+                                   (3 - 2) ** 3 / 48.0)
+        # H: occupied right behind the surface, 0.5 far in front
+        assert float(h_occupancy(-5.0)) == 0.0
+        assert float(h_occupancy(0.0)) > 0.4
+
+    def test_ofusion_log_odds_accumulates(self):
+        f = make_field("ofusion", mu=0.1, voxel_size=0.02)
+        data = {"occupancy": jnp.asarray([0.0]),
+                "timestamp": jnp.asarray([0.0])}
+        # voxel slightly behind measured surface -> occupied evidence
+        pos = jnp.asarray([[0.0, 0.0, 2.03]])
+        out = f.update(data, pos, jnp.asarray([2.0]),
+                       jnp.asarray([True]), 1.0)
+        assert float(out["occupancy"][0]) > 0.0
+        assert float(out["timestamp"][0]) == 1.0
+        # voxel in front -> free evidence
+        pos = jnp.asarray([[0.0, 0.0, 1.5]])
+        out2 = f.update(data, pos, jnp.asarray([2.0]),
+                        jnp.asarray([True]), 1.0)
+        assert float(out2["occupancy"][0]) < 0.0
