@@ -51,7 +51,6 @@ def main():
         process_frame, field=slam.field, iterations=slam.iterations,
         tracking_rate=1, integration_rate=1, bilateral=False,
         icp_threshold=cfg.icp_threshold,
-        sdf_alloc_steps=slam.sdf_alloc_steps, ofusion_schedule=None,
         use_gt=False, neg_y=False)
 
     k_dev = jnp.asarray(k)

@@ -253,7 +253,13 @@ def allocate_blocks(m: VoxelMap, block_coords, valid) -> VoxelMap:
 
     wanted = jnp.zeros((B, B, B), dtype=bool)
     wanted = wanted.at[bx, by, bz].max(inb)
+    return allocate_block_mask(m, wanted)
 
+
+def allocate_block_mask(m: VoxelMap, wanted) -> VoxelMap:
+    """Allocate every block where ``wanted`` bool[B,B,B] is set (and mark
+    touched blocks active).  The dense-mask core of ``Octree::allocate``."""
+    B = m.blocks_per_edge
     allocated = m.block_index >= 0
     new = (wanted & ~allocated).reshape(-1)
 
@@ -418,3 +424,62 @@ def block_coords_table(m: VoxelMap):
 def slot_mask(m: VoxelMap):
     """bool[capacity]: which table slots hold live blocks."""
     return jnp.arange(m.capacity, dtype=jnp.int32) < m.n_blocks
+
+
+def allocate_octant_masks(m: VoxelMap, masks: List[jnp.ndarray]) -> VoxelMap:
+    """Allocate octants from per-level dense request masks.
+
+    ``masks[l]`` bool[2^l]^3 requests a *node* at level l (l < block_level)
+    or a block (l == block_level).  Dense analog of :func:`allocate_octants`
+    for mask-producing allocators.
+    """
+    m = allocate_block_mask(m, masks[m.block_level])
+    node_alloc = list(m.node_alloc)
+    for level in range(m.block_level):
+        store = level + 1
+        req = masks[level]
+        # a node at level l materializes its 2x2x2 child value slots
+        up = jnp.repeat(jnp.repeat(jnp.repeat(req, 2, 0), 2, 1), 2, 2)
+        node_alloc[store] = node_alloc[store] | up
+    return m.replace(node_alloc=node_alloc)
+
+
+def pack_dense(m: VoxelMap, channel: str) -> jnp.ndarray:
+    """Materialize one channel as a dense ``dtype[S, S, S]`` volume with
+    ``empty`` baked into unallocated space.
+
+    This is the raycaster's read view: a scatter of ``capacity`` fat block
+    rows (2 KB each) — row-descriptor bound, ~sub-ms at 256^3 — after which
+    all sampling is plain dense indexing with no block indirection.
+    """
+    spec = _channel(m, channel)
+    B = m.blocks_per_edge
+    S = m.size
+    bc = block_coords_table(m)                     # [cap, 3]
+    live = slot_mask(m)
+    # dense [B,B,B,8,8,8] staging scattered by block coord
+    dense6 = jnp.full((B, B, B, BLOCK_SIDE, BLOCK_SIDE, BLOCK_SIDE),
+                      spec.empty, dtype=spec.dtype)
+    # brick linear index is x + y*8 + z*64 (`node.hpp:140-165`) -> [z,y,x]
+    bricks = m.voxels[channel].reshape(m.capacity, BLOCK_SIDE, BLOCK_SIDE,
+                                       BLOCK_SIDE).transpose(0, 3, 2, 1)
+    bx = jnp.where(live, bc[:, 0], B)              # B -> dropped
+    dense6 = dense6.at[bx, bc[:, 1], bc[:, 2]].set(bricks, mode="drop")
+    return dense6.transpose(0, 3, 1, 4, 2, 5).reshape(S, S, S)
+
+
+def unpack_dense(m: VoxelMap, channel: str, dense: jnp.ndarray) -> VoxelMap:
+    """Write a dense ``[S, S, S]`` volume back into the block table (gather
+    of fat rows; inverse of :func:`pack_dense`)."""
+    B = m.blocks_per_edge
+    d6 = dense.reshape(B, BLOCK_SIDE, B, BLOCK_SIDE, B, BLOCK_SIDE) \
+              .transpose(0, 2, 4, 1, 3, 5)         # [B,B,B,8,8,8] (x,y,z)
+    bc = block_coords_table(m)
+    bcc = jnp.clip(bc, 0, B - 1)
+    bricks = d6[bcc[:, 0], bcc[:, 1], bcc[:, 2]]   # [cap,8,8,8] = [lx,ly,lz]
+    flat = bricks.transpose(0, 3, 2, 1).reshape(m.capacity, BLOCK_VOXELS)
+    live = slot_mask(m)[:, None]
+    vox = dict(m.voxels)
+    vox[channel] = jnp.where(live, flat.astype(vox[channel].dtype),
+                             vox[channel])
+    return m.replace(voxels=vox)

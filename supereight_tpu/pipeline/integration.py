@@ -1,163 +1,47 @@
-"""Allocation + projective map fusion: the TPU rebuild of integration().
+"""Allocation + projective map fusion (TPU v2, gather-budgeted).
 
 Reference call stack (`DenseSLAMSystem.cpp:206-268`):
   buildAllocationList / buildOctantList -> Octree::allocate ->
   projective_map(sdf_update | bfusion_update).
 
-TPU design (not a port):
-* Allocation candidates: every pixel marches a fixed, data-independent step
-  schedule along its ray band, yielding a dense [H*W, S, 3] candidate array +
-  validity mask.  The reference's atomic list append + sort/unique
-  (`kfusion/alloc_impl.hpp:54-118`, `octree.hpp:793-817`) is replaced by the
-  dense-mask dedupe inside :func:`core.octree.allocate_blocks`.
-* Fusion: one batched update over the whole block table
-  ``[capacity, 512]`` — decode keys, compute camera-space voxel positions,
-  project, gather depth, apply the field's update rule, masked by the active
-  flags the reference maintains (`projective_functor.hpp:54-111`).  Per-block
-  visibility re-derives the ``active`` flag exactly like ``update_block``'s
-  ``is_visible`` (`projective_functor.hpp:73-111`).
-* Node (coarse) updates: dense per-level arrays updated the same way
-  (`projective_functor.hpp:113-137` samples each node's 8 child corners).
+Measured on TPU v5e: random element gathers ~0.12 G/s, but *slice* gathers
+cost ~23 ns per row descriptor regardless of row width.  The design follows:
+
+* Allocation: instead of per-pixel ray marching with atomic appends
+  (`kfusion/alloc_impl.hpp:54-118`), every *block* (and coarser octant for
+  occupancy) tests itself against a min/max depth mip once — ~40k lookups
+  total (<1 ms) instead of ~1M candidate scatters.  The test is a
+  conservative superset of the reference's band march (footprint margin
+  added), which only ever allocates extra blocks.
+* Fusion: per-voxel work streams over the block table ``[capacity, 512]``.
+  The only irregular access — the depth sample at each voxel's projected
+  pixel (`kfusion/mapping_impl.hpp:41-42`) — is served block-locally:
+  gather ONE small depth patch per block (a slice gather, descriptor-bound)
+  at a per-block stride matched to its projected footprint, then resolve
+  per-voxel nearest samples inside the patch with one-hot contractions on
+  the MXU.  No per-voxel gathers anywhere.
+* Node (coarse) pyramid updates keep direct gathers — <=40k lookups
+  (`projective_functor.hpp:113-137`).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from supereight_tpu.core import octree
 from supereight_tpu.core.octree import BLOCK_SIDE, BLOCK_VOXELS, VoxelMap
 
-
-# ----------------------------------------------------------------------
-# Allocation
-# ----------------------------------------------------------------------
-
-def band_allocation_coords(depth: jnp.ndarray, pose: jnp.ndarray,
-                           K: jnp.ndarray, size: int, voxel_size: float,
-                           band: float, num_steps: int):
-    """Per-pixel voxel candidates in a +/- band/2 strip around the surface.
-
-    Mirrors `kfusion/alloc_impl.hpp:73-113`: world vertex from depth, march
-    ``num_steps`` equal steps of the band toward the camera side.  Returns
-    (coords int32[H*W*num_steps, 3], valid bool[H*W*num_steps]).
-    """
-    H, W = depth.shape
-    inv_K = jnp.linalg.inv(K)
-    k_pose = pose @ inv_K
-
-    x = jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5
-    y = jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5
-    d = depth
-    # homogeneous pixel ray scaled by depth, mapped to world
-    px = jnp.broadcast_to(x, (H, W)) * d
-    py = jnp.broadcast_to(y, (H, W)) * d
-    hom = jnp.stack([px, py, d, jnp.ones_like(d)], axis=-1)   # [H,W,4]
-    world = jnp.einsum("ij,hwj->hwi", k_pose, hom)[..., :3]
-
-    cam = pose[:3, 3]
-    direction = cam[None, None, :] - world
-    dn = jnp.linalg.norm(direction, axis=-1, keepdims=True)
-    direction = direction / jnp.maximum(dn, 1e-12)
-    origin = world - (band * 0.5) * direction
-    step = direction * (band / num_steps)
-
-    t = jnp.arange(num_steps, dtype=jnp.float32).reshape(1, 1, num_steps, 1)
-    pos = origin[:, :, None, :] + step[:, :, None, :] * t      # [H,W,S,3]
-    vox = jnp.floor(pos / voxel_size).astype(jnp.int32)
-    inb = ((vox >= 0) & (vox < size)).all(axis=-1)
-    valid = inb & (d[..., None] > 0)
-    return vox.reshape(-1, 3), valid.reshape(-1)
-
-
-def allocate_sdf(m: VoxelMap, depth, pose, K, band: float,
-                 num_steps: int) -> VoxelMap:
-    coords, valid = band_allocation_coords(
-        depth, pose, K, m.size, m.voxel_size, band, num_steps)
-    return octree.allocate_blocks(m, coords >> octree.BLOCK_BITS, valid)
-
-
-def ofusion_step_schedule(band: float, voxel_size: float, max_dist: float,
-                          max_depth: int, block_level: int):
-    """Host-side precomputation of the bfusion allocation march.
-
-    The reference's adaptive step (`bfusion/alloc_impl.hpp:84-125`) depends
-    only on distance travelled, never on data — so the (travelled, level)
-    sequence is identical for every ray and can be tabulated statically.
-    Returns (travelled float32[S], levels int32[S]).
-    """
-    travelled, levels = [], []
-    t = 0.0
-    stepsize = voxel_size
-    tree_depth = max_depth
-    while t < max_dist:
-        travelled.append(t)
-        levels.append(min(tree_depth, block_level))
-        # post-step update, as alloc_impl.hpp:116-124
-        half = band * 0.5
-        if t < band:
-            stepsize = voxel_size
-        elif t < band + half:
-            stepsize = 10.0 * voxel_size
-        else:
-            stepsize = 30.0 * voxel_size
-        tree_depth = int(np.floor(np.log2(voxel_size / stepsize))) + max_depth
-        t += stepsize
-    return (np.asarray(travelled, np.float32), np.asarray(levels, np.int32))
-
-
-def allocate_ofusion(m: VoxelMap, depth, pose, K, band: float,
-                     schedule: Tuple[np.ndarray, np.ndarray]) -> VoxelMap:
-    """Multi-scale occupancy allocation (`bfusion/alloc_impl.hpp:56-129`):
-    march from behind the surface toward the camera, coarsening with
-    distance; cells at/below block level become blocks, coarser ones flip
-    the node-pyramid masks."""
-    H, W = depth.shape
-    travelled, levels = schedule
-    S = travelled.shape[0]
-    inv_K = jnp.linalg.inv(K)
-    k_pose = pose @ inv_K
-
-    x = jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5
-    y = jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5
-    d = depth
-    hom = jnp.stack([jnp.broadcast_to(x, (H, W)) * d,
-                     jnp.broadcast_to(y, (H, W)) * d, d,
-                     jnp.ones_like(d)], axis=-1)
-    world = jnp.einsum("ij,hwj->hwi", k_pose, hom)[..., :3]
-    cam = pose[:3, 3]
-    direction = cam[None, None, :] - world
-    direction = direction / jnp.maximum(
-        jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-12)
-    origin = world - (band * 0.5) * direction
-    dist = jnp.linalg.norm(cam[None, None, :] - origin, axis=-1)   # [H,W]
-
-    tt = jnp.asarray(travelled).reshape(1, 1, S, 1)
-    pos = origin[:, :, None, :] + direction[:, :, None, :] * tt
-    vox = jnp.floor(pos / m.voxel_size).astype(jnp.int32)
-    inb = ((vox >= 0) & (vox < m.size)).all(axis=-1)
-    valid = inb & (d[..., None] > 0) & (tt[..., 0] < dist[..., None])
-
-    lv = jnp.broadcast_to(jnp.asarray(levels).reshape(1, 1, S), (H, W, S))
-    return octree.allocate_octants(m, vox.reshape(-1, 3),
-                                   lv.reshape(-1), valid.reshape(-1))
+PATCH = 16          # depth patch side per block (in strided pixels)
+N_STRIDES = 4       # available patch strides: 1, 2, 4, 8
 
 
 # ----------------------------------------------------------------------
-# Projective fusion
+# Shared projection helpers
 # ----------------------------------------------------------------------
-
-def _local_offsets():
-    """Static [512, 3] voxel offsets inside a block, x-fastest
-    (`node.hpp:140-165` ordering)."""
-    i = jnp.arange(BLOCK_VOXELS, dtype=jnp.int32)
-    return jnp.stack([i % BLOCK_SIDE, (i // BLOCK_SIDE) % BLOCK_SIDE,
-                      i // (BLOCK_SIDE * BLOCK_SIDE)], axis=-1)
-
 
 def _project(T_cw, K, pos_world):
     """World -> (camera pos, pixel coords + 0.5) as `projective_functor.hpp:88-101`."""
@@ -186,43 +70,235 @@ def _sample_depth(depth, pix, valid):
     return jnp.where(valid, d, 0.0)
 
 
+def _mip_levels(H, W, want=6):
+    lv = 0
+    while lv < want and H % 2 == 0 and W % 2 == 0 and min(H, W) > 8:
+        H //= 2
+        W //= 2
+        lv += 1
+    return lv
+
+
+def depth_minmax_mips(depth: jnp.ndarray, levels: int | None = None):
+    """Min/max depth pyramid (zeros = invalid, excluded from min)."""
+    H, W = depth.shape
+    if levels is None:
+        levels = _mip_levels(H, W)
+    mips = []
+    dmin = jnp.where(depth > 0, depth, jnp.inf)
+    dmax = depth
+    for _ in range(levels):
+        H, W = dmin.shape
+        dmin = dmin.reshape(H // 2, 2, W // 2, 2).min(axis=(1, 3))
+        dmax = dmax.reshape(H // 2, 2, W // 2, 2).max(axis=(1, 3))
+        mips.append((dmin, dmax))
+    return mips
+
+
+# ----------------------------------------------------------------------
+# Allocation: dense per-octant band tests
+# ----------------------------------------------------------------------
+
+def _octant_band_test(depth, mips, T_cw, K, size, voxel_size, side_vox,
+                      band, mode):
+    """For every octant of ``side_vox`` voxels: does it intersect the
+    allocation region?  ``mode``: "band" (SDF: +/- band/2 around surface) or
+    "front" (occupancy: from camera to surface + band/2).
+    Returns bool[n,n,n], n = size//side_vox.
+    """
+    n = size // side_vox
+    half_diag = 0.8660254 * side_vox * voxel_size
+    g = (jnp.arange(n, dtype=jnp.float32) + 0.5) * (side_vox * voxel_size)
+    cx, cy, cz = jnp.meshgrid(g, g, g, indexing="ij")
+    centers = jnp.stack([cx, cy, cz], axis=-1)
+    pos_cam, pix = _project(T_cw, K, centers)
+    z = pos_cam[..., 2]
+
+    H, W = depth.shape
+    zsafe = jnp.maximum(z, 1e-3)
+    margin = K[0, 0] * half_diag / zsafe
+    inb = ((z >= 1e-4)
+           & (pix[..., 0] >= -margin) & (pix[..., 0] <= W - 1 + margin)
+           & (pix[..., 1] >= -margin) & (pix[..., 1] <= H - 1 + margin))
+
+    # footprint min/max depth from the mip whose texel covers the footprint
+    level = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(2.0 * margin, 1.0)))
+                     .astype(jnp.int32), 1, len(mips)) - 1
+    dmin = jnp.full_like(z, jnp.inf)
+    dmax = jnp.zeros_like(z)
+    for li, (mn, mx) in enumerate(mips):
+        s = 1 << (li + 1)
+        iy = jnp.clip(pix[..., 1].astype(jnp.int32) // s, 0, H // s - 1)
+        ix = jnp.clip(pix[..., 0].astype(jnp.int32) // s, 0, W // s - 1)
+        sel = level == li
+        dmin = jnp.where(sel, mn[iy, ix], dmin)
+        dmax = jnp.where(sel, mx[iy, ix], dmax)
+    valid_d = dmax > 0
+
+    znorm = jnp.sqrt(1.0 + (pos_cam[..., 0] / zsafe) ** 2
+                     + (pos_cam[..., 1] / zsafe) ** 2)
+    dist = z * znorm
+    lo = dmin * znorm - band * 0.5 - half_diag
+    hi = dmax * znorm + band * 0.5 + half_diag
+    if mode == "band":
+        want = (dist >= lo) & (dist <= hi)
+    else:  # "front": camera .. surface + band/2
+        want = dist <= hi
+    return want & inb & valid_d
+
+
+def allocate_sdf(m: VoxelMap, depth, pose, K, band: float,
+                 mips=None) -> VoxelMap:
+    """SDF block allocation: every block intersecting the +/- band/2 strip
+    around the measured surface (buildAllocationList semantics,
+    `kfusion/alloc_impl.hpp:54-118`, evaluated per block not per pixel)."""
+    if mips is None:
+        mips = depth_minmax_mips(depth)
+    T_cw = jnp.linalg.inv(pose)
+    want = _octant_band_test(depth, mips, T_cw, K, m.size, m.voxel_size,
+                             BLOCK_SIDE, band, "band")
+    return octree.allocate_block_mask(m, want)
+
+
+def allocate_ofusion(m: VoxelMap, depth, pose, K, band: float,
+                     mips=None) -> VoxelMap:
+    """Occupancy multi-scale allocation (buildOctantList semantics,
+    `bfusion/alloc_impl.hpp:56-129`): fine blocks in the surface band,
+    coarser octants through the free space toward the camera (the
+    10x/30x-voxel step zones of `alloc_impl.hpp:37-45` become one octree
+    level per zone)."""
+    if mips is None:
+        mips = depth_minmax_mips(depth)
+    T_cw = jnp.linalg.inv(pose)
+    size, vs = m.size, m.voxel_size
+    block_level = m.block_level
+
+    masks: List[jnp.ndarray] = [
+        jnp.zeros((1 << l,) * 3, bool) for l in range(block_level + 1)
+    ]
+    masks[block_level] = _octant_band_test(
+        depth, mips, T_cw, K, size, vs, BLOCK_SIDE, band, "band")
+    # mid zone (10-voxel steps -> 16-voxel octants)
+    lvl_mid = max(block_level - 1, 0)
+    mid = _octant_band_test(depth, mips, T_cw, K, size, vs, size >> lvl_mid,
+                            5.0 * band, "band")
+    masks[lvl_mid] = masks[lvl_mid] | mid
+    # far zone (30-voxel steps -> 32-voxel octants): all remaining free space
+    lvl_far = max(block_level - 2, 0)
+    far = _octant_band_test(depth, mips, T_cw, K, size, vs, size >> lvl_far,
+                            band, "front")
+    masks[lvl_far] = masks[lvl_far] | far
+    return octree.allocate_octant_masks(m, masks)
+
+
+# ----------------------------------------------------------------------
+# Fusion
+# ----------------------------------------------------------------------
+
+def _local_offsets():
+    """Static [512, 3] voxel offsets inside a brick, x-fastest
+    (`node.hpp:140-165` ordering)."""
+    i = jnp.arange(BLOCK_VOXELS, dtype=jnp.int32)
+    return jnp.stack([i % BLOCK_SIDE, (i // BLOCK_SIDE) % BLOCK_SIDE,
+                      i // (BLOCK_SIDE * BLOCK_SIDE)], axis=-1)
+
+
+def _decimated_atlas(depth):
+    """Stack of nearest-decimated depths [N_STRIDES, H, W] (level L holds
+    depth[::2^L, ::2^L] in its top-left corner, zeros elsewhere)."""
+    H, W = depth.shape
+    levels = [depth]
+    for L in range(1, N_STRIDES):
+        s = 1 << L
+        d = depth[::s, ::s]
+        levels.append(jnp.zeros((H, W), depth.dtype).at[:d.shape[0],
+                                                        :d.shape[1]].set(d))
+    return jnp.stack(levels)
+
+
 def integrate(m: VoxelMap, field, depth: jnp.ndarray, pose: jnp.ndarray,
               K: jnp.ndarray, timestamp=0.0) -> VoxelMap:
-    """Fuse one depth frame into the map (projective_map equivalent).
+    """Fuse one depth frame (projective_map equivalent).
 
-    Updates every allocated+active block's 512 voxels and every allocated
-    node-pyramid cell, then refreshes block ``active`` flags from visibility
-    (`projective_functor.hpp:73-137`).
+    Per block: slice-gather its depth footprint patch (stride matched to the
+    footprint), resolve every voxel's nearest-pixel sample by one-hot MXU
+    contractions, apply the field's update rule, refresh ``active`` from
+    visibility (`projective_functor.hpp:73-111`).
     """
     T_cw = jnp.linalg.inv(pose)
     voxel_size = m.voxel_size
+    H, W = depth.shape
+    cap = m.capacity
 
-    # ---- blocks ----
-    bc = octree.block_coords_table(m)                  # [cap, 3] block coords
-    base_voxel = (bc * BLOCK_SIDE).astype(jnp.float32)
-    offs = _local_offsets().astype(jnp.float32)        # [512, 3]
-    # voxel corner positions in world space (pix * voxel_size, functor :88-95)
-    pos_world = (base_voxel[:, None, :] + offs[None, :, :]) * voxel_size
-    pos_cam, pix = _project(T_cw, K, pos_world)        # [cap,512,3], [cap,512,2]
+    # ---- per-voxel projection over the block table ----
+    bc = octree.block_coords_table(m)                         # [cap, 3]
+    base = (bc * BLOCK_SIDE).astype(jnp.float32)
+    offs = _local_offsets().astype(jnp.float32)               # [512, 3]
+    pos_world = (base[:, None, :] + offs[None, :, :]) * voxel_size
+    pos_cam, pix = _project(T_cw, K, pos_world)               # [cap,512,*]
+    valid = _pixel_valid(pix, pos_cam, (H, W))
 
-    live = octree.slot_mask(m) & m.active              # [cap]
-    pvalid = _pixel_valid(pix, pos_cam, depth.shape) & live[:, None]
-    dsample = _sample_depth(depth, pix, pvalid)
+    # ---- per-block patch (slice gather from the decimated atlas) ----
+    centers = (base + 0.5 * BLOCK_SIDE) * voxel_size
+    ccam, cpix = _project(T_cw, K, centers)
+    zc = jnp.maximum(ccam[..., 2], 1e-3)
+    # projected footprint of the block diagonal, in pixels
+    foot = jnp.abs(K[0, 0]) * (1.7320508 * BLOCK_SIDE * voxel_size) / zc
+    lvl = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(foot / PATCH, 1.0)))
+                   .astype(jnp.int32), 0, N_STRIDES - 1)
+    stride = (1 << lvl).astype(jnp.float32)
+    atlas = _decimated_atlas(depth)                           # [L, H, W]
 
-    data = {name: arr for name, arr in m.voxels.items()}
-    new_data = field.update(data, pos_cam, dsample, pvalid, timestamp)
+    # patch top-left in strided coords, clamped to the level's extent
+    lh = (H // (1 << lvl))
+    lw = (W // (1 << lvl))
+    p0r = jnp.clip((cpix[..., 1] / stride).astype(jnp.int32) - PATCH // 2,
+                   0, lh - PATCH)
+    p0c = jnp.clip((cpix[..., 0] / stride).astype(jnp.int32) - PATCH // 2,
+                   0, lw - PATCH)
+
+    def slice_one(l, r, c):
+        return jax.lax.dynamic_slice(atlas, (l, r, c), (1, PATCH, PATCH))[0]
+
+    patches = jax.vmap(slice_one)(lvl, p0r, p0c)              # [cap, P, P]
+
+    # ---- per-voxel nearest sample inside the patch ----
+    ix = pix[..., 0].astype(jnp.int32)                        # int pixel
+    iy = pix[..., 1].astype(jnp.int32)
+    lr = (iy >> lvl[:, None]) - p0r[:, None]                  # patch row
+    lc = (ix >> lvl[:, None]) - p0c[:, None]                  # patch col
+    in_patch = (lr >= 0) & (lr < PATCH) & (lc >= 0) & (lc < PATCH)
+    valid = valid & in_patch
+
+    oh_row = jax.nn.one_hot(jnp.clip(lr, 0, PATCH - 1), PATCH,
+                            dtype=jnp.float32)                # [cap,512,P]
+    rowvals = jnp.einsum("nvp,npq->nvq", oh_row, patches)     # [cap,512,P]
+    oh_col = jax.nn.one_hot(jnp.clip(lc, 0, PATCH - 1), PATCH,
+                            dtype=jnp.float32)
+    dsample = jnp.sum(rowvals * oh_col, axis=-1)              # [cap,512]
+
+    live = octree.slot_mask(m) & m.active
+    do = valid & live[:, None]
+    dsample = jnp.where(do, dsample, 0.0)
+
+    data = dict(m.voxels)
+    new_data = field.update(data, pos_cam, dsample, do, timestamp)
     voxels = {name: jnp.where(live[:, None], new_data[name], data[name])
               for name in data}
 
-    # visibility refresh (`projective_functor.hpp:96-111`): a block stays
-    # active iff any voxel projected into the frame
-    visible = jnp.any(_pixel_valid(pix, pos_cam, depth.shape), axis=1)
+    # visibility refresh (`projective_functor.hpp:96-111`)
+    visible = jnp.any(valid, axis=1)
     active = jnp.where(octree.slot_mask(m) & m.active, visible, m.active)
 
     m = m.replace(voxels=voxels, active=active)
+    return _update_nodes(m, field, depth, T_cw, K, timestamp)
 
-    # ---- node pyramid (`projective_functor.hpp:113-137`) ----
+
+def _update_nodes(m: VoxelMap, field, depth, T_cw, K, timestamp) -> VoxelMap:
+    """Coarse node-pyramid updates (`projective_functor.hpp:113-137`):
+    project every allocated pyramid cell's corner; small direct gathers."""
     node_values = list(m.node_values)
+    voxel_size = m.voxel_size
     for level in range(1, m.block_level + 1):
         s = 1 << level
         side_vox = m.size // s

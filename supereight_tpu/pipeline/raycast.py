@@ -1,16 +1,25 @@
-"""Surface raycasting: TPU-native two-phase ray march.
+"""Surface raycasting: coarse-to-fine plane sweep over the dense store.
 
 Reference: `se_denseslam/src/rendering.cpp:50-90` (raycastKernel) +
 `se_core/include/se/ray_iterator.hpp` (hierarchical ESVO traversal) +
-the per-field `raycast()` marchers (`kfusion/rendering_impl.hpp:34-74`,
+the per-field marchers (`kfusion/rendering_impl.hpp:34-74`,
 `bfusion/rendering_impl.hpp:35-68`).
 
-Design (not a port): the pointer-stack ray_iterator is hostile to SIMD, so
-phase 1 instead marches the dense ``block_index`` occupancy grid (B^3, B =
-size/8 — 128 KB at 256^3) at fixed sub-block steps to find the first
-allocated block per ray; phase 2 runs the field's adaptive march from there
-as a fixed-trip-count ``fori_loop`` with per-ray done masks.  All rays
-advance in lockstep on the VPU; gathers are the only irregular access.
+TPU design v2 (gather-budgeted): the per-ray adaptive march (64+ dependent
+gather rounds) is replaced by a fixed two-phase sweep where every ray
+advances in lockstep:
+
+* phase 1 sweeps ~10-50 camera-depth planes over a min/max-pooled half-res
+  mip of the field, bracketing up to two candidate surface crossings per
+  ray (the mip plays the role of the ray_iterator's coarse skip: a pooled
+  texel containing any surface reads "inside").
+* phase 2 samples the full-res field finely across the bracket(s), detects
+  the reference's valid first crossing (weight==0 / unobserved samples
+  never produce crossings, mirroring `rendering_impl.hpp:49-53`), and
+  solves the linear zero crossing exactly like `rendering_impl.hpp:66`.
+
+Gather count: ~(P1 + 2*P2 + 6) per pixel (~40) instead of ~600, and each
+sweep step is one batched lookup over all rays.
 """
 
 from __future__ import annotations
@@ -29,12 +38,13 @@ from .constants import INVALID
 class RaycastResult(NamedTuple):
     vertex: jnp.ndarray   # [H, W, 3] world-space hit points (0 on miss)
     normal: jnp.ndarray   # [H, W, 3] unit normals (x = INVALID on miss)
-    t_hit: jnp.ndarray    # [H, W] ray parameter of the hit (0 on miss)
+    t_hit: jnp.ndarray    # [H, W] ray distance of the hit (0 on miss)
 
 
 def ray_directions(view: jnp.ndarray, H: int, W: int):
-    """Per-pixel world ray origin + unit direction (`rendering.cpp:62-65`).
-    ``view`` = camera-to-world pose @ inv(K)."""
+    """Per-pixel world ray origin + direction with unit camera-z
+    (`rendering.cpp:62-65`; ``view`` = camera-to-world pose @ inv(K)), so
+    that ``origin + z * dir`` is the point at camera depth ``z``."""
     x = jnp.arange(W, dtype=jnp.float32)[None, :]
     y = jnp.arange(H, dtype=jnp.float32)[:, None]
     dirs = jnp.stack([
@@ -42,142 +52,187 @@ def ray_directions(view: jnp.ndarray, H: int, W: int):
         view[1, 0] * jnp.broadcast_to(x, (H, W)) + view[1, 1] * y + view[1, 2],
         jnp.broadcast_to(view[2, 0] * x + view[2, 1] * y + view[2, 2], (H, W)),
     ], axis=-1)
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
-                              1e-12)
     origin = view[:3, 3]
     return origin, dirs
 
 
-def _ray_box(origin, dirs, dim: float, near: float, far: float):
-    """Clamp [near, far] to the map AABB [0, dim]^3 per ray
-    (the commented-out box intersect of `kfusion/rendering_impl.hpp:83-102`,
-    which ray_iterator performs internally `ray_iterator.hpp:53-111`)."""
-    inv = 1.0 / jnp.where(jnp.abs(dirs) < 1e-12,
-                          jnp.where(dirs >= 0, 1e-12, -1e-12), dirs)
-    tbot = -origin * inv
-    ttop = (dim - origin) * inv
-    tmin = jnp.minimum(tbot, ttop).max(axis=-1)
-    tmax = jnp.maximum(tbot, ttop).min(axis=-1)
-    return jnp.maximum(tmin, near), jnp.minimum(tmax, far)
+def pack_view(m: VoxelMap, field):
+    """Dense read view of the channels the raycaster samples.
 
-
-def _first_block_t(m: VoxelMap, origin, dirs, tnear, tfar, step_frac=0.5):
-    """Phase 1: distance to the first allocated block along each ray.
-
-    Fixed-step march over the dense block-occupancy grid; replaces the
-    ray_iterator's hierarchical descend/advance (`ray_iterator.hpp:116-226`).
-    Returns (t_entry, found) with t_entry backed up one step so phase 2
-    starts outside the block.
+    One fat-row scatter per channel (`octree.pack_dense`); ``empty`` baked
+    into unallocated space so sampling needs no block indirection at all.
     """
-    block_m = BLOCK_SIDE * m.voxel_size
-    step = block_m * step_frac
-    max_range = float(m.dim) * 1.7320508  # map diagonal
-    n_steps = int(max_range / step) + 2
-    inv_vs = m.inverse_voxel_size
-    B = m.blocks_per_edge
-
-    def body(i, carry):
-        t_hit, found = carry
-        t = tnear + step * i
-        pos = origin + dirs * t[..., None]
-        bv = jnp.floor(pos * inv_vs).astype(jnp.int32) >> octree.BLOCK_BITS
-        inb = ((bv >= 0) & (bv < B)).all(axis=-1) & (t <= tfar)
-        bvc = jnp.clip(bv, 0, B - 1)
-        occ = m.block_index[bvc[..., 0], bvc[..., 1], bvc[..., 2]] >= 0
-        hit_now = occ & inb & ~found
-        t_hit = jnp.where(hit_now, jnp.maximum(t - step, tnear), t_hit)
-        return t_hit, found | hit_now
-
-    t0 = jnp.zeros_like(tnear)
-    t_hit, found = jax.lax.fori_loop(
-        0, n_steps, body, (t0, jnp.zeros(tnear.shape, bool)))
-    return t_hit, found & (tnear < tfar)
+    return {c.name: octree.pack_dense(m, c.name).astype(jnp.float32)
+            for c in m.channels}
 
 
-def _march(m: VoxelMap, field, origin, dirs, t_start, active, tfar,
-           max_steps: int):
-    """Phase 2: the field-specific adaptive march, in lockstep with masks.
+def build_mip(m: VoxelMap, field, dense=None):
+    """Half-res pooled field for the coarse sweep.  Pooling keeps the
+    'most inside' value so thin surfaces survive (min for SDF, max for
+    occupancy); unallocated voxels hold 'outside' (= empty) already."""
+    if dense is None:
+        dense = pack_view(m, field)
+    fa = dense[field.select_channel]
+    S = m.size
+    r = fa.reshape(S // 2, 2, S // 2, 2, S // 2, 2)
+    if field.invert_normals:   # SDF: inside = negative
+        return r.min(axis=(1, 3, 5))
+    return r.max(axis=(1, 3, 5))
 
-    SDF (`kfusion/rendering_impl.hpp:39-70`): skip weight==0 voxels at
-    largestep, sphere-trace by max(f*mu, step), trilinear refine near the
-    surface, linear zero-crossing solve.
-    OFusion (`bfusion/rendering_impl.hpp:41-66`): fixed one-voxel steps,
-    crossing of log-odds 0.
-    """
-    step = m.voxel_size
-    largestep = BLOCK_SIDE * m.voxel_size
+
+def _sample_volume(vol, pos_vox, size, fill):
+    """Nearest-voxel lookup with out-of-bounds fill."""
+    v = jnp.floor(pos_vox).astype(jnp.int32)
+    inb = ((v >= 0) & (v < size)).all(axis=-1)
+    vc = jnp.clip(v, 0, size - 1)
+    val = vol[vc[..., 0], vc[..., 1], vc[..., 2]]
+    return jnp.where(inb, val, fill), inb
+
+
+class _Bracket(NamedTuple):
+    z1: jnp.ndarray       # start of first candidate bracket
+    z2: jnp.ndarray       # start of second candidate bracket
+    n: jnp.ndarray        # int32: number of brackets found (0..2)
+    prev_in: jnp.ndarray  # was previous mip sample inside
+
+
+def _coarse_sweep(mip, field, origin, dirs, near, far, n_planes, size_mip,
+                  inv_vs_mip):
+    """Phase 1: bracket up to two inside-transitions on the pooled mip."""
+    dz = (far - near) / n_planes
+    outside_val = 1.0 if field.invert_normals else -1.0
+
+    def body(j, st: _Bracket):
+        z = near + dz * j
+        pos = (origin + dirs * z) * inv_vs_mip
+        f, _ = _sample_volume(mip, pos, size_mip, outside_val)
+        inside = field.is_inside(f)
+        enter = inside & ~st.prev_in
+        take1 = enter & (st.n == 0)
+        take2 = enter & (st.n == 1)
+        z_lo = jnp.maximum(z - dz, near)
+        return _Bracket(
+            z1=jnp.where(take1, z_lo, st.z1),
+            z2=jnp.where(take2, z_lo, st.z2),
+            n=st.n + enter.astype(jnp.int32),
+            prev_in=inside,
+        )
+
+    shape = dirs.shape[:-1]
+    st = _Bracket(z1=jnp.zeros(shape), z2=jnp.zeros(shape),
+                  n=jnp.zeros(shape, jnp.int32),
+                  prev_in=jnp.zeros(shape, bool))
+    st = jax.lax.fori_loop(0, n_planes, body, st)
+    return st, dz
+
+
+class _Fine(NamedTuple):
+    hit: jnp.ndarray
+    z_hit: jnp.ndarray
+    f_lo: jnp.ndarray     # field value before the crossing
+    f_hi: jnp.ndarray     # field value after the crossing
+    prev_f: jnp.ndarray
+    prev_z: jnp.ndarray
+    prev_ok: jnp.ndarray
+
+
+def _fine_scan(m, dense, field, origin, dirs, z_start, span, n_samples,
+               active):
+    """Phase 2: fine first-crossing detection across a bracket.
+
+    Reference semantics: only transitions between *valid* samples count
+    (weight==0 / unobserved never cross, `rendering_impl.hpp:49-58`), and
+    the crossing position is the linear solve between the two samples
+    (`rendering_impl.hpp:66`)."""
     inv_vs = m.inverse_voxel_size
     sel = field.select_channel
-    inside = field.is_inside
+    dz = span / n_samples
 
-    def interp_at(t):
-        pos = origin + dirs * t[..., None]
-        return octree.interp(m, sel, pos * inv_vs)
-
-    def get_at(t):
-        pos = (origin + dirs * t[..., None]) * inv_vs
-        vx = jnp.floor(pos).astype(jnp.int32)
-        vals = {c.name: octree.get(m, c.name, vx[..., 0], vx[..., 1],
-                                   vx[..., 2]) for c in m.channels}
+    def sample(z):
+        pos = (origin + dirs * z[..., None]) * inv_vs
+        vals = {}
+        for c in m.channels:
+            v, _ = _sample_volume(dense[c.name], pos, m.size, c.empty)
+            vals[c.name] = v
         return vals
 
-    f0 = interp_at(t_start)
-    # "if we were already in it, don't render" (rendering_impl.hpp:46)
-    running = active & ~inside(f0)
-    f_t = f0
+    def body(j, st: _Fine):
+        z = z_start + dz * (j + 1)
+        vals = sample(z)
+        f = vals[sel]
+        ok = field.sample_valid(vals)
+        crossing = (active & ~st.hit & ok & st.prev_ok
+                    & field.is_inside(f) & ~field.is_inside(st.prev_f))
+        return _Fine(
+            hit=st.hit | crossing,
+            z_hit=jnp.where(crossing, z, st.z_hit),
+            f_lo=jnp.where(crossing, st.prev_f, st.f_lo),
+            f_hi=jnp.where(crossing, f, st.f_hi),
+            prev_f=jnp.where(ok, f, st.prev_f),
+            prev_z=jnp.where(ok, z, st.prev_z),
+            # crossings compare against the last *valid* sample
+            # (`rendering_impl.hpp:49-63` skips invalid without resetting f_t)
+            prev_ok=st.prev_ok | ok,
+        )
 
-    class S(NamedTuple):
-        t: jnp.ndarray
-        f_t: jnp.ndarray
-        f_tt: jnp.ndarray
-        stepsize: jnp.ndarray
-        hit: jnp.ndarray
-        running: jnp.ndarray
+    shape = dirs.shape[:-1]
+    vals0 = sample(z_start)
+    f0 = vals0[sel]
+    ok0 = field.sample_valid(vals0)
+    st = _Fine(hit=jnp.zeros(shape, bool), z_hit=jnp.zeros(shape),
+               f_lo=jnp.ones(shape), f_hi=jnp.ones(shape),
+               prev_f=jnp.where(ok0, f0, 1.0 if field.invert_normals else 0.0),
+               prev_z=jnp.full(shape, z_start), prev_ok=ok0)
+    st = jax.lax.fori_loop(0, n_samples, body, st)
 
-    st = S(t=t_start, f_t=f_t, f_tt=jnp.zeros_like(f_t),
-           stepsize=jnp.full_like(f_t, largestep),
-           hit=jnp.zeros(t_start.shape, bool), running=running)
-
-    def body(_, st):
-        data = get_at(st.t)
-        valid = field.sample_valid(data)
-        f_near = data[sel].astype(jnp.float32)
-        refine = field.interp_window(f_near)
-        f_new = jnp.where(refine, interp_at(st.t), f_near)
-
-        hit_now = st.running & valid & inside(f_new)
-        adv = jnp.maximum(field.step_scale(f_new), step)
-        new_stepsize = jnp.where(valid, adv, field.skip_stepsize(step, largestep))
-
-        f_tt = jnp.where(st.running & valid, f_new, st.f_tt)
-        # reference keeps f_t un-updated across skipped (invalid) samples
-        f_t = jnp.where(st.running & valid & ~hit_now, f_new, st.f_t)
-        t = jnp.where(st.running & ~hit_now, st.t + new_stepsize, st.t)
-        running = st.running & ~hit_now & (t < tfar)
-        return S(t=t, f_t=f_t, f_tt=f_tt, stepsize=new_stepsize,
-                 hit=st.hit | hit_now, running=running)
-
-    st = jax.lax.fori_loop(0, max_steps, body, st)
-
-    # linear crossing solve (rendering_impl.hpp:66 / bfusion :61)
-    denom = st.f_t - st.f_tt
-    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    t_hit = st.t + st.stepsize * (st.f_tt - field.surf_boundary) / denom
-    t_hit = jnp.where(st.hit, t_hit, 0.0)
-    return t_hit, st.hit
+    # linear crossing solve (rendering_impl.hpp:66)
+    denom = st.f_lo - st.f_hi
+    denom = jnp.where(jnp.abs(denom) < 1e-12, -1e-12, denom)
+    frac = (st.f_hi - field.surf_boundary) / denom
+    z_ref = st.z_hit + dz * frac   # backtrack toward f_lo
+    return st._replace(z_hit=jnp.where(st.hit, z_ref, st.z_hit))
 
 
 def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
-            near: float, far: float, max_fine_steps: int = 64) -> RaycastResult:
-    """Full raycastKernel (`rendering.cpp:50-90`): vertex+normal maps."""
+            near: float, far: float, dense=None) -> RaycastResult:
+    """Full raycastKernel (`rendering.cpp:50-90`): vertex + normal maps."""
     origin, dirs = ray_directions(view, H, W)
-    tnear, tfar = _ray_box(origin, dirs, m.dim, near, far)
-    t_entry, found = _first_block_t(m, origin, dirs, tnear, tfar)
-    t_hit, hit = _march(m, field, origin, dirs, t_entry, found, tfar,
-                        max_fine_steps)
 
-    vertex = origin + dirs * t_hit[..., None]
-    g = octree.grad(m, field.select_channel, vertex * m.inverse_voxel_size)
+    if dense is None:
+        dense = pack_view(m, field)
+    mip = build_mip(m, field, dense)
+    size_mip = m.size // 2
+    inv_vs_mip = m.inverse_voxel_size / 2.0
+
+    # coarse plane spacing: must not skip the 'inside' region, which for a
+    # watertight-from-one-side wall is only the negative truncation band
+    # (~mu), widened by one mip texel per side by the min-pooling.
+    if field.invert_normals:
+        span = 0.66 * (field.mu + 2.0 * m.voxel_size)
+    else:
+        span = 4.0 * m.voxel_size   # occupancy: sharp surface, pooled +/-2vx
+    n_planes = max(8, int((far - near) / span) + 1)
+    br, dz1 = _coarse_sweep(mip, field, origin, dirs, near, far,
+                            n_planes, size_mip, inv_vs_mip)
+
+    n_fine = 12
+    fine_span = 2.0 * dz1
+    f1 = _fine_scan(m, dense, field, origin, dirs, br.z1, fine_span, n_fine,
+                    br.n >= 1)
+    f2 = _fine_scan(m, dense, field, origin, dirs, br.z2, fine_span, n_fine,
+                    (br.n >= 2) & ~f1.hit)
+
+    hit = f1.hit | f2.hit
+    z_hit = jnp.where(f1.hit, f1.z_hit, f2.z_hit)
+
+    vertex = origin + dirs * z_hit[..., None]
+    ray_norm = jnp.linalg.norm(dirs, axis=-1)
+    t_hit = jnp.where(hit, z_hit * ray_norm, 0.0)
+
+    # normals: 6-tap central difference at the hit (the reference's
+    # trilinear-blended grad `octree.hpp:566-737` reduces to this at voxel
+    # resolution; full interp-grad remains available via octree.grad)
+    g = _grad6(m, dense, field, vertex)
     if field.invert_normals:
         g = -g
     gn = jnp.linalg.norm(g, axis=-1, keepdims=True)
@@ -187,5 +242,21 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     invalid = jnp.concatenate([jnp.full_like(normal[..., :1], INVALID),
                                jnp.zeros_like(normal[..., 1:])], axis=-1)
     normal = jnp.where(bad[..., None], invalid, normal)
-    return RaycastResult(vertex=vertex, normal=normal,
-                         t_hit=jnp.where(hit, t_hit, 0.0))
+    return RaycastResult(vertex=vertex, normal=normal, t_hit=t_hit)
+
+
+def _grad6(m: VoxelMap, dense, field, pos_world):
+    """Central-difference gradient from 6 nearest-voxel taps."""
+    inv_vs = m.inverse_voxel_size
+    vol = dense[field.select_channel]
+    spec = [c for c in m.channels if c.name == field.select_channel][0]
+    base = pos_world * inv_vs
+    grads = []
+    for axis in range(3):
+        e = jnp.zeros((3,)).at[axis].set(1.0)
+        for sgn in (1.0, -1.0):
+            val, _ = _sample_volume(vol, base + sgn * e, m.size, spec.empty)
+            grads.append(val)
+    g = jnp.stack([grads[0] - grads[1], grads[2] - grads[3],
+                   grads[4] - grads[5]], axis=-1)
+    return g * 0.5

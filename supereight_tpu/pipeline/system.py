@@ -77,15 +77,6 @@ class DenseSLAMSystem:
                                 self.H, self.W, self.init_pose,
                                 capacity=capacity)
 
-        # static allocation parameters
-        import math
-        band = self.field.alloc_band()
-        self.sdf_alloc_steps = max(1, int(math.ceil(band / voxel_size)))
-        self.ofusion_schedule = integration.ofusion_step_schedule(
-            band, voxel_size, FAR_PLANE + band,
-            int(math.log2(self.size)), self.state.map.block_level) \
-            if config.field_type == "ofusion" else None
-
         self._step = jax.jit(
             functools.partial(
                 process_frame,
@@ -95,8 +86,6 @@ class DenseSLAMSystem:
                 integration_rate=config.integration_rate,
                 bilateral=config.bilateral_filter,
                 icp_threshold=config.icp_threshold,
-                sdf_alloc_steps=self.sdf_alloc_steps,
-                ofusion_schedule=self.ofusion_schedule,
             ),
             static_argnames=("use_gt", "neg_y"))
 
@@ -187,8 +176,8 @@ def init_state(size: int, dim: float, field, H: int, W: int,
 
 def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   *, field, iterations, tracking_rate, integration_rate,
-                  bilateral, icp_threshold, sdf_alloc_steps,
-                  ofusion_schedule, use_gt: bool, neg_y: bool) -> FrameState:
+                  bilateral, icp_threshold, use_gt: bool,
+                  neg_y: bool) -> FrameState:
     """One full SLAM frame as a pure function (jit target)."""
     H, W = state.float_depth.shape
     m = state.map
@@ -232,12 +221,12 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
 
     def integrate_fn(m):
         band = field.alloc_band()
+        mips = integration.depth_minmax_mips(float_depth)
         if field.multiscale_alloc:
             m = integration.allocate_ofusion(m, float_depth, pose, K, band,
-                                             ofusion_schedule)
+                                             mips)
         else:
-            m = integration.allocate_sdf(m, float_depth, pose, K, band,
-                                         sdf_alloc_steps)
+            m = integration.allocate_sdf(m, float_depth, pose, K, band, mips)
         return integration.integrate(m, field, float_depth, pose, K,
                                      timestamp=timestamp)
 
