@@ -444,6 +444,26 @@ def allocate_octant_masks(m: VoxelMap, masks: List[jnp.ndarray]) -> VoxelMap:
     return m.replace(node_alloc=node_alloc)
 
 
+def axis_aligned_map(m: VoxelMap, fn) -> VoxelMap:
+    """Apply ``fn(values_dict, coords) -> values_dict`` to every voxel of
+    every allocated block.
+
+    Reference: the axis-aligned functor (`se_core/include/se/functors/
+    axis_aligned_functor.hpp:57-131`), used to initialize test fields and
+    for whole-map transforms.  ``coords`` is int32[capacity, 512, 3].
+    """
+    bc = block_coords_table(m) * BLOCK_SIDE                  # [cap, 3]
+    i = jnp.arange(BLOCK_VOXELS, dtype=jnp.int32)
+    offs = jnp.stack([i % BLOCK_SIDE, (i // BLOCK_SIDE) % BLOCK_SIDE,
+                      i // (BLOCK_SIDE * BLOCK_SIDE)], axis=-1)
+    coords = bc[:, None, :] + offs[None, :, :]
+    new_vals = fn(dict(m.voxels), coords)
+    live = slot_mask(m)[:, None]
+    vox = {name: jnp.where(live, new_vals[name], m.voxels[name])
+           for name in m.voxels}
+    return m.replace(voxels=vox)
+
+
 def pack_dense(m: VoxelMap, channel: str) -> jnp.ndarray:
     """Materialize one channel as a dense ``dtype[S, S, S]`` volume with
     ``empty`` baked into unallocated space.
