@@ -53,6 +53,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--field", choices=("sdf", "ofusion"), default="sdf")
+    p.add_argument("--staged", action="store_true",
+                   help="one dispatch per stage: fills the per-stage TSV "
+                        "columns (slower than the fused default)")
     return p.parse_args(argv)
 
 
@@ -117,14 +120,23 @@ def main(argv=None):
         depth, _ = reader.read(frame)
         t1 = time.perf_counter()
         gt = gt_poses[frame] if gt_poses is not None else None
-        st = slam.step(depth, k, frame, gt_pose=gt)
-        st.pose.block_until_ready()
+        if args.staged:
+            st, stage_t = slam.step_staged(depth, k, frame, gt_pose=gt)
+            for name, dt in stage_t.items():
+                Stats.sample(name, dt)
+        else:
+            st = slam.step(depth, k, frame, gt_pose=gt)
+            st.pose.block_until_ready()
+            stage_t = {}
         t2 = time.perf_counter()
         pos = np.asarray(st.pose[:3, 3])
         est_poses.append(np.asarray(st.pose))
         Stats.sample("computation", t2 - t1)
         Stats.sample("total", t2 - t0)
-        log.write(f"{frame}\t{t1 - t0:.8f}\t0\t0\t0\t0\t0\t"
+        g = lambda s: stage_t.get(s, 0.0)
+        log.write(f"{frame}\t{t1 - t0:.8f}\t{g('preprocessing'):.8f}\t"
+                  f"{g('tracking'):.8f}\t{g('integration'):.8f}\t"
+                  f"{g('raycasting'):.8f}\t0\t"
                   f"{t2 - t1:.8f}\t{t2 - t0:.8f}\t"
                   f"{pos[0]:.6f}\t{pos[1]:.6f}\t{pos[2]:.6f}\t"
                   f"{int(bool(st.tracked))}\t{int(bool(st.integrated))}\n")

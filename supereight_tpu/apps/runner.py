@@ -1,0 +1,144 @@
+"""Evaluation harness: run pipelines over datasets, report ATE/RPE + timing.
+
+Reference: `se_apps/scripts/run_kf.py` + `_run.py` (SLAMAlgorithm /
+KinectFusion: generate run command, parse the TSV log, Horn-align and report
+ATE) and `datasets.py` (dataset registry).
+
+Datasets resolve in order: an on-disk path (ICL-NUIM/TUM converted with
+tools/scene2raw), else the synthetic analytic room (zero-egress fallback).
+
+Usage:
+    python -m supereight_tpu.apps.runner --dataset synthetic-room \
+        --field sdf -v 256 --frames 120
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+from supereight_tpu.apps import benchmark, evaluate
+from supereight_tpu.io import groundtruth, synthetic
+
+#: dataset registry (reference `se_apps/scripts/datasets.py`)
+DATASETS = {
+    "synthetic-room": {
+        "synthetic": True, "n_frames": 120, "hw": (240, 320),
+        "volume": 4.8, "init_pose": "0.5,0.5,0.23",
+    },
+    # ICL-NUIM entries expect pre-converted files (tools/scene2raw):
+    "icl-lr-traj0": {
+        "raw": "datasets/living_room_traj0_loop.raw",
+        "gt": "datasets/livingRoom0.gt.freiburg",
+        "camera": "481.2,-480,320,240", "volume": 4.8,
+        "init_pose": "0.34,0.5,0.24",
+    },
+    "icl-lr-traj2": {
+        "raw": "datasets/living_room_traj2_loop.raw",
+        "gt": "datasets/livingRoom2.gt.freiburg",
+        "camera": "481.2,-480,320,240", "volume": 4.8,
+        "init_pose": "0.34,0.5,0.24",
+    },
+    "tum-fr1-desk": {
+        "raw": "datasets/rgbd_dataset_freiburg1_desk.raw",
+        "gt": "datasets/rgbd_dataset_freiburg1_desk-groundtruth.txt",
+        "camera": "517.3,516.5,318.6,255.3", "volume": 4.8,
+        "init_pose": "0.5,0.5,0.5",
+    },
+}
+
+
+def prepare_dataset(name: str, spec: dict, frames: int, workdir: str):
+    """Returns (raw_path, gt_path, camera_str)."""
+    if spec.get("synthetic"):
+        H, W = spec["hw"]
+        prefix = os.path.join(workdir, name)
+        n = frames or spec["n_frames"]
+        rawp, gtp, k = synthetic.write_dataset(prefix, n, H=H, W=W,
+                                               room_dim=spec["volume"])
+        return rawp, gtp, ",".join(str(float(v)) for v in k)
+    if not os.path.exists(spec["raw"]):
+        raise FileNotFoundError(
+            f"{spec['raw']} not found — convert the dataset with "
+            f"tools/scene2raw first, or use --dataset synthetic-room")
+    return spec["raw"], spec["gt"], spec["camera"]
+
+
+def run(dataset: str, field: str = "sdf", resolution: int = 256,
+        frames: int = 0, staged: bool = False, out: str = "",
+        extra_args=()):
+    spec = DATASETS[dataset]
+    workdir = out or tempfile.mkdtemp(prefix="se_run_")
+    os.makedirs(workdir, exist_ok=True)
+    rawp, gtp, camera = prepare_dataset(dataset, spec, frames, workdir)
+    log_path = os.path.join(workdir, "benchmark.log")
+
+    argv = ["-i", rawp, "-s", str(spec["volume"]), "-v", str(resolution),
+            "-k", camera, "-z", "1", "-o", log_path, "-q",
+            "-p", spec.get("init_pose", "0.5,0.5,0"),
+            "--field", field]
+    if frames:
+        argv += ["--max-frames", str(frames)]
+    if staged:
+        argv += ["--staged"]
+    argv += list(extra_args)
+
+    t0 = time.perf_counter()
+    est_poses = benchmark.main(argv)
+    wall = time.perf_counter() - t0
+
+    gt_poses = groundtruth.read_poses(gtp)
+    n = min(len(est_poses), len(gt_poses))
+    ate = evaluate.ate(est_poses[:n], gt_poses[:n])
+    rpe = evaluate.rpe(est_poses[:n], gt_poses[:n])
+
+    # timing means from the TSV log (`_run.py:179`)
+    cols = {}
+    with open(log_path) as f:
+        header = f.readline().strip().split("\t")
+        data = np.loadtxt(f, delimiter="\t")
+    if data.ndim == 1:
+        data = data[None]
+    for i, name in enumerate(header):
+        cols[name] = data[:, i]
+
+    results = {
+        "dataset": dataset, "field": field, "resolution": resolution,
+        "frames": int(n), "wall_s": round(wall, 2),
+        "fps": round(n / max(cols["computation"].sum(), 1e-9), 2),
+        "ate_rmse_m": round(ate["rmse"], 5),
+        "ate_mean_m": round(ate["mean"], 5),
+        "rpe_trans_rmse_m": round(rpe["trans_rmse"], 5),
+        "rpe_rot_rmse_deg": round(rpe["rot_rmse_deg"], 4),
+        "mean_computation_s": round(float(cols["computation"][4:].mean()), 5),
+        "tracked_ratio": round(float(cols["tracked"].mean()), 3),
+    }
+    with open(os.path.join(workdir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="synthetic-room",
+                   choices=sorted(DATASETS))
+    p.add_argument("--field", default="sdf", choices=("sdf", "ofusion"))
+    p.add_argument("-v", "--resolution", type=int, default=256)
+    p.add_argument("--frames", type=int, default=0)
+    p.add_argument("--staged", action="store_true")
+    p.add_argument("--out", default="")
+    args = p.parse_args(argv)
+    results = run(args.dataset, args.field, args.resolution, args.frames,
+                  args.staged, args.out)
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,85 @@
+"""Headless viewer: the reference GUI's render triptych as image files.
+
+Reference: the GLUT/Qt frontend draws depth / ICP-status / shaded-volume
+views each frame (`se_apps/src/mainQt.cpp`, `se_apps/include/draw.h`).
+Cloud TPU hosts have no display, so this writes the same triptych as PNGs
+(matplotlib backend) every ``rate`` frames.
+
+Usage:
+    python -m supereight_tpu.apps.viewer -i seq.raw -g seq.gt -v 128 \
+        --out-dir renders --rate 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from supereight_tpu.apps import benchmark as bench_app
+from supereight_tpu.config import Configuration
+from supereight_tpu.io import groundtruth, raw
+from supereight_tpu.pipeline import DenseSLAMSystem
+
+
+def save_triptych(path: str, depth_img, track_img, volume_img):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, axes = plt.subplots(1, 3, figsize=(12, 3.2))
+    for ax, img, title in zip(
+            axes, (depth_img, track_img, volume_img),
+            ("depth", "tracking", "volume")):
+        ax.imshow(np.asarray(img)[..., :3])
+        ax.set_title(title)
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-i", "--input-file", required=True)
+    p.add_argument("-g", "--ground-truth", default="")
+    p.add_argument("-k", "--camera", default="")
+    p.add_argument("-s", "--volume-size", type=float, default=4.8)
+    p.add_argument("-v", "--volume-resolution", type=int, default=256)
+    p.add_argument("--out-dir", default="renders")
+    p.add_argument("--rate", type=int, default=5)
+    p.add_argument("--max-frames", type=int, default=0)
+    args = p.parse_args(argv)
+
+    reader = raw.RawReader(args.input_file)
+    if args.camera:
+        k = np.asarray([float(x) for x in args.camera.split(",")], np.float32)
+    else:
+        k = np.asarray([481.2, -480.0, reader.width / 2.0,
+                        reader.height / 2.0], np.float32)
+    cfg = Configuration(volume_resolution=(args.volume_resolution,) * 3,
+                        volume_size=(args.volume_size,) * 3,
+                        integration_rate=1)
+    slam = DenseSLAMSystem((reader.height, reader.width), cfg)
+    gt = groundtruth.read_poses(args.ground_truth) \
+        if args.ground_truth else None
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    n = len(reader)
+    if args.max_frames:
+        n = min(n, args.max_frames)
+    for frame in range(n):
+        depth, _ = reader.read(frame)
+        slam.step(depth, k, frame,
+                  gt_pose=gt[frame] if gt is not None else None)
+        if frame % args.rate == 0 and frame > 2:
+            save_triptych(os.path.join(args.out_dir, f"frame_{frame:05d}.png"),
+                          slam.renderDepth(), slam.renderTrack(),
+                          slam.renderVolume())
+    print(f"wrote renders to {args.out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -76,8 +76,12 @@ def render_depth(pose, k, room_dim, H: int, W: int, steps: int = 160):
 
 
 def orbit_poses(n: int, room_dim: float, radius: float = 1.1,
-                height_amp: float = 0.12, sweep: float = 1.5 * np.pi):
-    """Smooth orbit inside the room looking at the centre; returns [n, 4, 4]."""
+                height_amp: float = 0.12, sweep: float | None = None):
+    """Smooth orbit inside the room looking at the centre; returns [n, 4, 4].
+    Default sweep keeps angular velocity ~1 deg/frame (ICP-trackable, like
+    a 30 fps hand-held sweep)."""
+    if sweep is None:
+        sweep = min(1.5 * np.pi, 0.0175 * n)
     c = room_dim / 2.0
     center = np.array([c, c, c], np.float32)
     poses = []

@@ -88,6 +88,22 @@ class DenseSLAMSystem:
                 icp_threshold=config.icp_threshold,
             ),
             static_argnames=("use_gt", "neg_y"))
+        # separately-jitted stages for --staged timing (TSV column parity
+        # with benchmark.cpp:110-112)
+        self._stages = {
+            "preprocessing": jax.jit(functools.partial(
+                preprocessing_stage, bilateral=config.bilateral_filter)),
+            "tracking": jax.jit(functools.partial(
+                tracking_stage, field=self.field, iterations=self.iterations,
+                tracking_rate=config.tracking_rate,
+                icp_threshold=config.icp_threshold),
+                static_argnames=("use_gt", "neg_y")),
+            "integration": jax.jit(functools.partial(
+                integration_stage, field=self.field,
+                integration_rate=config.integration_rate)),
+            "raycasting": jax.jit(functools.partial(
+                raycasting_stage, field=self.field)),
+        }
 
     # ---- reference-parity accessors ----
 
@@ -125,6 +141,45 @@ class DenseSLAMSystem:
                                 jnp.asarray(gt_pose, jnp.float32),
                                 use_gt=use_gt, neg_y=neg_y)
         return self.state
+
+    def step_staged(self, depth_mm, k, frame: int, gt_pose=None):
+        """Like :meth:`step` but one device dispatch per pipeline stage,
+        returning ``(state, {stage: seconds})`` for the reference's per-stage
+        TSV log (`benchmark.cpp:110-112,162-173`)."""
+        import time as _time
+        use_gt = gt_pose is not None
+        if gt_pose is None:
+            gt_pose = jnp.eye(4, dtype=jnp.float32)
+        neg_y = bool(k[1] < 0)
+        kd = jnp.asarray(k, jnp.float32)
+        fd = jnp.asarray(frame, jnp.int32)
+        st = self.state
+        times = {}
+
+        t0 = _time.perf_counter()
+        st = self._stages["preprocessing"](st, jnp.asarray(depth_mm))
+        st.scaled_depth.block_until_ready()
+        times["preprocessing"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        st = self._stages["tracking"](st, kd, fd,
+                                      jnp.asarray(gt_pose, jnp.float32),
+                                      use_gt=use_gt, neg_y=neg_y)
+        st.pose.block_until_ready()
+        times["tracking"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        st = self._stages["integration"](st, kd, fd)
+        st.map.n_blocks.block_until_ready()
+        times["integration"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        st = self._stages["raycasting"](st, kd, fd)
+        st.ref_vertex.block_until_ready()
+        times["raycasting"] = _time.perf_counter() - t0
+
+        self.state = st
+        return st, times
 
     # ---- renderers ----
 
@@ -174,15 +229,10 @@ def init_state(size: int, dim: float, field, H: int, W: int,
     )
 
 
-def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
-                  *, field, iterations, tracking_rate, integration_rate,
-                  bilateral, icp_threshold, use_gt: bool,
-                  neg_y: bool) -> FrameState:
-    """One full SLAM frame as a pure function (jit target)."""
+def preprocessing_stage(state: FrameState, depth_mm, *,
+                        bilateral: bool) -> FrameState:
+    """preprocessing() (`DenseSLAMSystem.cpp:128-141`)."""
     H, W = state.float_depth.shape
-    m = state.map
-
-    # ---- preprocessing (`DenseSLAMSystem.cpp:128-141`) ----
     if depth_mm.dtype == jnp.uint16:
         float_depth = preprocessing.mm_to_meters(depth_mm, (H, W))
     else:
@@ -193,31 +243,41 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
         scaled_depth = preprocessing.bilateral_filter(float_depth)
     else:
         scaled_depth = float_depth
+    return state.replace(float_depth=float_depth, scaled_depth=scaled_depth)
 
-    # ---- tracking (`DenseSLAMSystem.cpp:143-189`) ----
+
+def tracking_stage(state: FrameState, k, frame, gt_pose, *, field,
+                   iterations, tracking_rate, icp_threshold, use_gt: bool,
+                   neg_y: bool) -> FrameState:
+    """tracking() (`DenseSLAMSystem.cpp:143-189`); ground-truth mode
+    bypasses ICP like `mainQt.cpp:257-265`."""
     # NegY normal orientation follows fy < 0 (`DenseSLAMSystem.cpp:159-162`)
     depths, vertices, normals = preprocessing.build_pyramid(
-        scaled_depth, k, len(iterations), neg_y=neg_y)
+        state.scaled_depth, k, len(iterations), neg_y=neg_y)
 
     if use_gt:
-        pose = gt_pose
-        tracked = jnp.ones((), bool)
-        track_result = state.track_result
-    else:
-        do_track = (frame % tracking_rate) == 0
-        new_pose, ok, td = tracking.track(
-            state.pose, depths, vertices, normals, state.ref_vertex,
-            state.ref_normal, state.raycast_pose, k, iterations,
-            icp_threshold)
-        pose = jnp.where(do_track, new_pose, state.pose)
-        tracked = do_track & ok
-        track_result = jnp.where(do_track, td.result, state.track_result)
+        return state.replace(pose=gt_pose, tracked=jnp.ones((), bool))
 
-    # ---- integration (`DenseSLAMSystem.cpp:206-268`) ----
-    do_integrate = (tracked | (frame <= 3)) & \
+    do_track = (frame % tracking_rate) == 0
+    new_pose, ok, td = tracking.track(
+        state.pose, depths, vertices, normals, state.ref_vertex,
+        state.ref_normal, state.raycast_pose, k, iterations, icp_threshold)
+    return state.replace(
+        pose=jnp.where(do_track, new_pose, state.pose),
+        tracked=do_track & ok,
+        track_result=jnp.where(do_track, td.result, state.track_result))
+
+
+def integration_stage(state: FrameState, k, frame, *, field,
+                      integration_rate) -> FrameState:
+    """integration() (`DenseSLAMSystem.cpp:206-268`): integrates when
+    tracked or during the bootstrap frames."""
+    do_integrate = (state.tracked | (frame <= 3)) & \
         (((frame % integration_rate) == 0) | (frame <= 3))
     K = camera.camera_matrix(k)
     timestamp = (1.0 / 30.0) * frame.astype(jnp.float32)
+    float_depth = state.float_depth
+    pose = state.pose
 
     def integrate_fn(m):
         band = field.alloc_band()
@@ -230,9 +290,14 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
         return integration.integrate(m, field, float_depth, pose, K,
                                      timestamp=timestamp)
 
-    m = jax.lax.cond(do_integrate, integrate_fn, lambda m: m, m)
+    m = jax.lax.cond(do_integrate, integrate_fn, lambda m: m, state.map)
+    return state.replace(map=m, integrated=do_integrate)
 
-    # ---- raycasting (`DenseSLAMSystem.cpp:191-204`) ----
+
+def raycasting_stage(state: FrameState, k, frame, *, field) -> FrameState:
+    """raycasting() (`DenseSLAMSystem.cpp:191-204`): refresh the reference
+    model maps from the current pose (only after the bootstrap frames)."""
+    H, W = state.float_depth.shape
     do_raycast = frame > 2
 
     def raycast_fn(args):
@@ -245,11 +310,22 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
         return state.ref_vertex, state.ref_normal, state.raycast_pose
 
     ref_vertex, ref_normal, raycast_pose = jax.lax.cond(
-        do_raycast, raycast_fn, skip_fn, (m, pose))
+        do_raycast, raycast_fn, skip_fn, (state.map, state.pose))
+    return state.replace(ref_vertex=ref_vertex, ref_normal=ref_normal,
+                         raycast_pose=raycast_pose)
 
-    return state.replace(
-        map=m, pose=pose, raycast_pose=raycast_pose,
-        float_depth=float_depth, scaled_depth=scaled_depth,
-        ref_vertex=ref_vertex, ref_normal=ref_normal,
-        track_result=track_result, tracked=tracked,
-        integrated=do_integrate)
+
+def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
+                  *, field, iterations, tracking_rate, integration_rate,
+                  bilateral, icp_threshold, use_gt: bool,
+                  neg_y: bool) -> FrameState:
+    """One full SLAM frame as a pure function (fused jit target; the staged
+    variants above are jitted separately by the CLI's --staged timing mode)."""
+    state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
+    state = tracking_stage(state, k, frame, gt_pose, field=field,
+                           iterations=iterations, tracking_rate=tracking_rate,
+                           icp_threshold=icp_threshold, use_gt=use_gt,
+                           neg_y=neg_y)
+    state = integration_stage(state, k, frame, field=field,
+                              integration_rate=integration_rate)
+    return raycasting_stage(state, k, frame, field=field)
