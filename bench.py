@@ -22,9 +22,35 @@ import time
 import numpy as np
 
 
+def _watchdog(seconds: int):
+    """The axon TPU tunnel can wedge on a stale chip claim (observed when a
+    client is killed mid-compile); a hung device init must not hang the
+    caller.  SIGALRM fires -> emit a zero-score line and exit cleanly."""
+    import signal
+
+    def on_alarm(signum, frame):
+        print("# TPU device init timed out (stale tunnel claim?)",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": "fused_frames_per_s_per_chip_256",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "error": "tpu_init_timeout",
+        }))
+        sys.exit(0)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
+    return lambda: signal.alarm(0)
+
+
 def main():
+    cancel = _watchdog(240)
     import jax
     import jax.numpy as jnp
+    jax.devices()   # force backend init under the watchdog
+    cancel()
+    import signal
+    signal.alarm(2400)   # whole-bench ceiling; cancelled before the report
     from supereight_tpu.config import Configuration
     from supereight_tpu.io import synthetic
     from supereight_tpu.pipeline import DenseSLAMSystem
@@ -94,6 +120,7 @@ def main():
     print(f"# {n_timed} frames in {dt:.2f}s; final pose err {final_err:.3f} m;"
           f" blocks {int(state.map.n_blocks)}", file=sys.stderr)
 
+    signal.alarm(0)
     print(json.dumps({
         "metric": "fused_frames_per_s_per_chip_256",
         "value": round(fps, 2),

@@ -488,6 +488,27 @@ def pack_dense(m: VoxelMap, channel: str) -> jnp.ndarray:
     return dense6.transpose(0, 3, 1, 4, 2, 5).reshape(S, S, S)
 
 
+def pack_dense_multiscale(m: VoxelMap, channel: str) -> jnp.ndarray:
+    """Like :func:`pack_dense` but unallocated space reads the deepest
+    allocated node-pyramid value instead of ``empty`` — the dense equivalent
+    of the reference's multiscale ``Octree::get`` (`octree.hpp:313-368`),
+    used by the occupancy raycaster through coarse free space."""
+    spec = _channel(m, channel)
+    S = m.size
+    base = jnp.full((S, S, S), spec.empty, dtype=spec.dtype)
+    for level in range(1, m.block_level + 1):
+        f = S >> level
+        vals = m.node_values[level][channel]
+        mask = m.node_alloc[level]
+        up_v = jnp.repeat(jnp.repeat(jnp.repeat(vals, f, 0), f, 1), f, 2)
+        up_m = jnp.repeat(jnp.repeat(jnp.repeat(mask, f, 0), f, 1), f, 2)
+        base = jnp.where(up_m, up_v, base)
+    leaf = pack_dense(m, channel)
+    leaf_mask = jnp.repeat(jnp.repeat(jnp.repeat(
+        m.block_index >= 0, BLOCK_SIDE, 0), BLOCK_SIDE, 1), BLOCK_SIDE, 2)
+    return jnp.where(leaf_mask, leaf, base)
+
+
 def unpack_dense(m: VoxelMap, channel: str, dense: jnp.ndarray) -> VoxelMap:
     """Write a dense ``[S, S, S]`` volume back into the block table (gather
     of fat rows; inverse of :func:`pack_dense`)."""

@@ -60,9 +60,14 @@ def pack_view(m: VoxelMap, field):
     """Dense read view of the channels the raycaster samples.
 
     One fat-row scatter per channel (`octree.pack_dense`); ``empty`` baked
-    into unallocated space so sampling needs no block indirection at all.
+    into unallocated space so sampling needs no block indirection.  For
+    multiscale fields (occupancy) the node pyramid shows through
+    unallocated space, matching the reference's ``volume.get`` descend
+    (`bfusion/rendering_impl.hpp:52`, `octree.hpp:313-368`).
     """
-    return {c.name: octree.pack_dense(m, c.name).astype(jnp.float32)
+    pack = octree.pack_dense_multiscale if field.multiscale_alloc \
+        else octree.pack_dense
+    return {c.name: pack(m, c.name).astype(jnp.float32)
             for c in m.channels}
 
 
