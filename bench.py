@@ -62,10 +62,23 @@ def main():
     k = np.asarray([240.6, 240.0, 160.0, 120.0], np.float32)
 
     t0 = time.perf_counter()
-    depths, poses, _ = synthetic.generate_sequence(
-        N_FRAMES, H=H, W=W, room_dim=4.8, k=tuple(k))
-    print(f"# generated {N_FRAMES} frames in {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr)
+    import os
+    here = os.path.dirname(os.path.abspath(__file__))
+    for cache in (os.path.join(here, "bench_data/synthetic_256_frames.npz"),
+                  "/tmp/se_bench_frames.npz"):
+        if os.path.exists(cache):
+            z = np.load(cache)
+            depths, poses = z["depths"], z["poses"]
+            print(f"# loaded cached frames ({cache}) in "
+                  f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+            break
+    else:
+        depths, poses, _ = synthetic.generate_sequence(
+            N_FRAMES, H=H, W=W, room_dim=4.8, k=tuple(k))
+        np.savez_compressed("/tmp/se_bench_frames.npz",
+                            depths=depths, poses=poses)
+        print(f"# generated {N_FRAMES} frames in {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
 
     cfg = Configuration(volume_resolution=(SIZE,) * 3, volume_size=(4.8,) * 3,
                         pyramid=(10, 5, 4), integration_rate=1,
@@ -86,7 +99,7 @@ def main():
         depth, frame = inp
         return fn(state, depth, k_dev, frame, eye), ()
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def run_chunk(state, depth_chunk, frame0):
         frames = frame0 + jnp.arange(depth_chunk.shape[0], dtype=jnp.int32)
         state, _ = jax.lax.scan(scan_step, state, (depth_chunk, frames))

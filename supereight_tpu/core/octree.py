@@ -477,15 +477,16 @@ def pack_dense(m: VoxelMap, channel: str) -> jnp.ndarray:
     S = m.size
     bc = block_coords_table(m)                     # [cap, 3]
     live = slot_mask(m)
-    # dense [B,B,B,8,8,8] staging scattered by block coord
-    dense6 = jnp.full((B, B, B, BLOCK_SIDE, BLOCK_SIDE, BLOCK_SIDE),
-                      spec.empty, dtype=spec.dtype)
-    # brick linear index is x + y*8 + z*64 (`node.hpp:140-165`) -> [z,y,x]
-    bricks = m.voxels[channel].reshape(m.capacity, BLOCK_SIDE, BLOCK_SIDE,
-                                       BLOCK_SIDE).transpose(0, 3, 2, 1)
-    bx = jnp.where(live, bc[:, 0], B)              # B -> dropped
-    dense6 = dense6.at[bx, bc[:, 1], bc[:, 2]].set(bricks, mode="drop")
-    return dense6.transpose(0, 3, 1, 4, 2, 5).reshape(S, S, S)
+    # single-axis fat-row scatter (13.5 ms -> 0.05 ms vs a 3-index scatter
+    # of [8,8,8] windows on the v5e), then one dense 6D transpose
+    lin = bc[:, 0] * B * B + bc[:, 1] * B + bc[:, 2]
+    tgt = jnp.where(live, lin, B * B * B)          # last row -> dropped
+    flat = jnp.full((B * B * B, BLOCK_VOXELS), spec.empty, dtype=spec.dtype)
+    flat = flat.at[tgt].set(m.voxels[channel], mode="drop")
+    # brick linear index is x + y*8 + z*64 (`node.hpp:140-165`), so the
+    # trailing 512 unpacks as (lz, ly, lx)
+    d6 = flat.reshape(B, B, B, BLOCK_SIDE, BLOCK_SIDE, BLOCK_SIDE)
+    return d6.transpose(0, 5, 1, 4, 2, 3).reshape(S, S, S)
 
 
 def pack_dense_multiscale(m: VoxelMap, channel: str) -> jnp.ndarray:
@@ -513,14 +514,16 @@ def unpack_dense(m: VoxelMap, channel: str, dense: jnp.ndarray) -> VoxelMap:
     """Write a dense ``[S, S, S]`` volume back into the block table (gather
     of fat rows; inverse of :func:`pack_dense`)."""
     B = m.blocks_per_edge
+    # dense (bx,lx,by,ly,bz,lz) -> (bx,by,bz, lz,ly,lx) -> [B^3, 512] rows
     d6 = dense.reshape(B, BLOCK_SIDE, B, BLOCK_SIDE, B, BLOCK_SIDE) \
-              .transpose(0, 2, 4, 1, 3, 5)         # [B,B,B,8,8,8] (x,y,z)
+              .transpose(0, 2, 4, 5, 3, 1)
+    flat = d6.reshape(B * B * B, BLOCK_VOXELS)
     bc = block_coords_table(m)
-    bcc = jnp.clip(bc, 0, B - 1)
-    bricks = d6[bcc[:, 0], bcc[:, 1], bcc[:, 2]]   # [cap,8,8,8] = [lx,ly,lz]
-    flat = bricks.transpose(0, 3, 2, 1).reshape(m.capacity, BLOCK_VOXELS)
+    lin = jnp.clip(bc[:, 0] * B * B + bc[:, 1] * B + bc[:, 2],
+                   0, B * B * B - 1)
+    bricks = flat[lin]                             # fat-row gather
     live = slot_mask(m)[:, None]
     vox = dict(m.voxels)
-    vox[channel] = jnp.where(live, flat.astype(vox[channel].dtype),
+    vox[channel] = jnp.where(live, bricks.astype(vox[channel].dtype),
                              vox[channel])
     return m.replace(voxels=vox)

@@ -257,10 +257,18 @@ def integrate(m: VoxelMap, field, depth: jnp.ndarray, pose: jnp.ndarray,
     p0c = jnp.clip((cpix[..., 0] / stride).astype(jnp.int32) - PATCH // 2,
                    0, lw - PATCH)
 
-    def slice_one(l, r, c):
-        return jax.lax.dynamic_slice(atlas, (l, r, c), (1, PATCH, PATCH))[0]
-
-    patches = jax.vmap(slice_one)(lvl, p0r, p0c)              # [cap, P, P]
+    # Patch fetch in two descriptor-bound steps: (1) fat-row gather of
+    # full-width row slabs (row count is what costs, width is ~free), then
+    # (2) a one-hot einsum crops each slab to its PATCH-wide column window
+    # on the MXU.  (Both vmapped dynamic_slice forms lower to catastrophic
+    # elementwise/scalar gathers on this backend.)
+    atlas2d = atlas.reshape(-1, W)                            # [L*H, W]
+    row_idx = (lvl * H + p0r)[:, None] + jnp.arange(PATCH)    # [cap, P]
+    slab = atlas2d[row_idx]                                   # [cap, P, W]
+    col_win = p0c[:, None, None] + jnp.arange(PATCH)[None, :, None]
+    oh_win = (col_win == jnp.arange(W)[None, None, :])        # [cap, P, W]
+    # f32 one-hot keeps the depth sample exact (bf16 would round mm depth)
+    patches = jnp.einsum("nrw,ncw->nrc", slab, oh_win.astype(jnp.float32))
 
     # ---- per-voxel nearest sample inside the patch ----
     ix = pix[..., 0].astype(jnp.int32)                        # int pixel

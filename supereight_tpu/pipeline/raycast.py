@@ -57,29 +57,41 @@ def ray_directions(view: jnp.ndarray, H: int, W: int):
 
 
 def pack_view(m: VoxelMap, field):
-    """Dense read view of the channels the raycaster samples.
+    """Dense read view for the raycaster.
 
     One fat-row scatter per channel (`octree.pack_dense`); ``empty`` baked
     into unallocated space so sampling needs no block indirection.  For
     multiscale fields (occupancy) the node pyramid shows through
     unallocated space, matching the reference's ``volume.get`` descend
     (`bfusion/rendering_impl.hpp:52`, `octree.hpp:313-368`).
+
+    Returns ``{"F": ..., select: ...}`` where ``F`` is the select channel
+    with *invalid* samples (the reference's weight==0 / unobserved skip,
+    `rendering_impl.hpp:49-53`) encoded as NaN — so the sweep samples ONE
+    array per round and `isnan` recovers validity; comparisons against NaN
+    are False, so an invalid sample can never read as a crossing.
     """
     pack = octree.pack_dense_multiscale if field.multiscale_alloc \
         else octree.pack_dense
-    return {c.name: pack(m, c.name).astype(jnp.float32)
-            for c in m.channels}
+    dense = {c.name: pack(m, c.name).astype(jnp.float32)
+             for c in m.channels}
+    valid = field.sample_valid(dense)
+    f = dense[field.select_channel]
+    return {"F": jnp.where(valid, f, jnp.nan),
+            field.select_channel: f}
 
 
-def build_mip(m: VoxelMap, field, dense=None):
-    """Half-res pooled field for the coarse sweep.  Pooling keeps the
+def build_mip(m: VoxelMap, field, dense=None, factor: int = 4):
+    """1/factor-res pooled field for the coarse sweep.  Pooling keeps the
     'most inside' value so thin surfaces survive (min for SDF, max for
-    occupancy); unallocated voxels hold 'outside' (= empty) already."""
+    occupancy); invalid (NaN) samples pool as 'outside'."""
     if dense is None:
         dense = pack_view(m, field)
-    fa = dense[field.select_channel]
+    outside = 1.0 if field.invert_normals else -1.0
+    fa = jnp.nan_to_num(dense["F"], nan=outside)
     S = m.size
-    r = fa.reshape(S // 2, 2, S // 2, 2, S // 2, 2)
+    n = S // factor
+    r = fa.reshape(n, factor, n, factor, n, factor)
     if field.invert_normals:   # SDF: inside = negative
         return r.min(axis=(1, 3, 5))
     return r.max(axis=(1, 3, 5))
@@ -150,22 +162,18 @@ def _fine_scan(m, dense, field, origin, dirs, z_start, span, n_samples,
     the crossing position is the linear solve between the two samples
     (`rendering_impl.hpp:66`)."""
     inv_vs = m.inverse_voxel_size
-    sel = field.select_channel
     dz = span / n_samples
+    outside = 1.0 if field.invert_normals else 0.0
 
     def sample(z):
+        """One NaN-encoded lookup: value + validity in a single gather."""
         pos = (origin + dirs * z[..., None]) * inv_vs
-        vals = {}
-        for c in m.channels:
-            v, _ = _sample_volume(dense[c.name], pos, m.size, c.empty)
-            vals[c.name] = v
-        return vals
+        f, _ = _sample_volume(dense["F"], pos, m.size, outside)
+        return f, ~jnp.isnan(f)
 
     def body(j, st: _Fine):
         z = z_start + dz * (j + 1)
-        vals = sample(z)
-        f = vals[sel]
-        ok = field.sample_valid(vals)
+        f, ok = sample(z)
         crossing = (active & ~st.hit & ok & st.prev_ok
                     & field.is_inside(f) & ~field.is_inside(st.prev_f))
         return _Fine(
@@ -181,9 +189,7 @@ def _fine_scan(m, dense, field, origin, dirs, z_start, span, n_samples,
         )
 
     shape = dirs.shape[:-1]
-    vals0 = sample(z_start)
-    f0 = vals0[sel]
-    ok0 = field.sample_valid(vals0)
+    f0, ok0 = sample(z_start)
     st = _Fine(hit=jnp.zeros(shape, bool), z_hit=jnp.zeros(shape),
                f_lo=jnp.ones(shape), f_hi=jnp.ones(shape),
                prev_f=jnp.where(ok0, f0, 1.0 if field.invert_normals else 0.0),
@@ -205,23 +211,27 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
 
     if dense is None:
         dense = pack_view(m, field)
-    mip = build_mip(m, field, dense)
-    size_mip = m.size // 2
-    inv_vs_mip = m.inverse_voxel_size / 2.0
+    MIP = 4
+    mip = build_mip(m, field, dense, factor=MIP)
+    size_mip = m.size // MIP
+    inv_vs_mip = m.inverse_voxel_size / MIP
 
-    # coarse plane spacing: must not skip the 'inside' region, which for a
-    # watertight-from-one-side wall is only the negative truncation band
-    # (~mu), widened by one mip texel per side by the min-pooling.
-    if field.invert_normals:
-        span = 0.66 * (field.mu + 2.0 * m.voxel_size)
-    else:
-        span = 4.0 * m.voxel_size   # occupancy: sharp surface, pooled +/-2vx
+    # coarse plane spacing: must not skip the 'inside' region — for a
+    # watertight-from-one-side wall that is the negative truncation band
+    # (~mu for SDF, ~2 voxels for occupancy), widened by up to one mip
+    # texel per side by the pooling.
+    vs = m.voxel_size
+    thickness = field.mu if field.invert_normals else 2.0 * vs
+    span = 0.66 * (thickness + MIP * vs)
     n_planes = max(8, int((far - near) / span) + 1)
     br, dz1 = _coarse_sweep(mip, field, origin, dirs, near, far,
                             n_planes, size_mip, inv_vs_mip)
 
-    n_fine = 12
-    fine_span = 2.0 * dz1
+    # fine sampling: step <= half the band thickness detects every crossing;
+    # the linear solve recovers sub-step accuracy (band-linear field)
+    fine_span = 2.2 * dz1
+    fine_step = 0.5 * thickness
+    n_fine = max(8, int(fine_span / fine_step) + 1)
     f1 = _fine_scan(m, dense, field, origin, dirs, br.z1, fine_span, n_fine,
                     br.n >= 1)
     f2 = _fine_scan(m, dense, field, origin, dirs, br.z2, fine_span, n_fine,

@@ -88,6 +88,8 @@ class DenseSLAMSystem:
                 icp_threshold=config.icp_threshold,
             ),
             static_argnames=("use_gt", "neg_y"))
+        # (no donation here: callers may hold references to earlier states;
+        # the bench's scan path donates instead)
         # separately-jitted stages for --staged timing (TSV column parity
         # with benchmark.cpp:110-112)
         self._stages = {
@@ -121,6 +123,44 @@ class DenseSLAMSystem:
 
     def getMap(self):
         return self.state.map
+
+    def getVolume(self):
+        """Metric-space continuous view (VolumeTemplate parity)."""
+        from supereight_tpu.core.volume import Volume
+        return Volume(self.state.map, self.field.select_channel)
+
+    def getInitPos(self):
+        return self.init_pose[:3, 3]
+
+    # ---- individual pipeline stages (reference DenseSLAMSystem API:
+    # preprocessing/tracking/integration/raycasting, DenseSLAMSystem.h) ----
+
+    def preprocessing(self, depth_mm):
+        self.state = self._stages["preprocessing"](
+            self.state, jnp.asarray(depth_mm))
+        return True
+
+    def tracking(self, k, frame: int, gt_pose=None):
+        use_gt = gt_pose is not None
+        if gt_pose is None:
+            gt_pose = jnp.eye(4, dtype=jnp.float32)
+        self.state = self._stages["tracking"](
+            self.state, jnp.asarray(k, jnp.float32),
+            jnp.asarray(frame, jnp.int32), jnp.asarray(gt_pose, jnp.float32),
+            use_gt=use_gt, neg_y=bool(k[1] < 0))
+        return bool(self.state.tracked)
+
+    def integration(self, k, frame: int):
+        self.state = self._stages["integration"](
+            self.state, jnp.asarray(k, jnp.float32),
+            jnp.asarray(frame, jnp.int32))
+        return bool(self.state.integrated)
+
+    def raycasting(self, k, frame: int):
+        self.state = self._stages["raycasting"](
+            self.state, jnp.asarray(k, jnp.float32),
+            jnp.asarray(frame, jnp.int32))
+        return frame > 2
 
     # ---- main entry ----
 
