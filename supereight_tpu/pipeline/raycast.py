@@ -224,12 +224,28 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     thickness = field.mu if field.invert_normals else 2.0 * vs
     span = 0.66 * (thickness + MIP * vs)
     n_planes = max(8, int((far - near) / span) + 1)
-    br, dz1 = _coarse_sweep(mip, field, origin, dirs, near, far,
-                            n_planes, size_mip, inv_vs_mip)
+    # coarse bracketing at half image resolution: brackets vary smoothly
+    # across rays and the pooled mip already smears the band by +-MIP
+    # voxels, so a 2x2 ray block shares its brackets (4x fewer samples)
+    if H % 2 == 0 and W % 2 == 0:
+        dirs_h = 0.25 * (dirs[0::2, 0::2] + dirs[1::2, 0::2]
+                         + dirs[0::2, 1::2] + dirs[1::2, 1::2])
+        br_h, dz1 = _coarse_sweep(mip, field, origin, dirs_h, near, far,
+                                  n_planes, size_mip, inv_vs_mip)
+        up = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+        # widen one coarse step to absorb half-res disagreement
+        br = _Bracket(z1=jnp.maximum(up(br_h.z1) - dz1, near),
+                      z2=jnp.maximum(up(br_h.z2) - dz1, near),
+                      n=up(br_h.n), prev_in=up(br_h.prev_in))
+        extra = 2.0 * dz1
+    else:
+        br, dz1 = _coarse_sweep(mip, field, origin, dirs, near, far,
+                                n_planes, size_mip, inv_vs_mip)
+        extra = 0.0
 
     # fine sampling: step <= half the band thickness detects every crossing;
     # the linear solve recovers sub-step accuracy (band-linear field)
-    fine_span = 2.2 * dz1
+    fine_span = 2.2 * dz1 + extra
     fine_step = 0.5 * thickness
     n_fine = max(8, int(fine_span / fine_step) + 1)
     f1 = _fine_scan(m, dense, field, origin, dirs, br.z1, fine_span, n_fine,
