@@ -89,12 +89,19 @@ def build_mip(m: VoxelMap, field, dense=None, factor: int = 4):
         dense = pack_view(m, field)
     outside = 1.0 if field.invert_normals else -1.0
     fa = jnp.nan_to_num(dense["F"], nan=outside)
-    S = m.size
-    n = S // factor
-    r = fa.reshape(n, factor, n, factor, n, factor)
-    if field.invert_normals:   # SDF: inside = negative
-        return r.min(axis=(1, 3, 5))
-    return r.max(axis=(1, 3, 5))
+    op = jnp.minimum if field.invert_normals else jnp.maximum
+    # per-axis strided pooling: a reshape(n,f,n,f,n,f) reduce materializes
+    # intermediates whose trailing dims of `factor` pad 16-32x on TPU
+    # (OOM at 512^3); strided slices keep tile-friendly layouts
+    for axis in range(3):
+        idx = [slice(None)] * 3
+        idx[axis] = slice(0, None, factor)
+        acc = fa[tuple(idx)]
+        for off in range(1, factor):
+            idx[axis] = slice(off, None, factor)
+            acc = op(acc, fa[tuple(idx)])
+        fa = acc
+    return fa
 
 
 def _sample_volume(vol, pos_vox, size, fill):
