@@ -77,8 +77,10 @@ def pack_view(m: VoxelMap, field):
              for c in m.channels}
     valid = field.sample_valid(dense)
     f = dense[field.select_channel]
-    return {"F": jnp.where(valid, f, jnp.nan),
-            field.select_channel: f}
+    # NaN marks invalid; note f == init wherever invalid (a never-fused
+    # voxel still holds the init value), so nan_to_num(F, init) recovers
+    # the raw field exactly — no second dense copy needed
+    return {"F": jnp.where(valid, f, jnp.nan)}
 
 
 def build_mip(m: VoxelMap, field, dense=None, factor: int = 4):
@@ -257,11 +259,23 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     n_fine = max(8, int(fine_span / fine_step) + 1)
     f1 = _fine_scan(m, dense, field, origin, dirs, br.z1, fine_span, n_fine,
                     br.n >= 1)
-    f2 = _fine_scan(m, dense, field, origin, dirs, br.z2, fine_span, n_fine,
-                    (br.n >= 2) & ~f1.hit)
 
-    hit = f1.hit | f2.hit
-    z_hit = jnp.where(f1.hit, f1.z_hit, f2.z_hit)
+    # second-chance bracket (rays that grazed the first shell without a
+    # valid crossing); usually nobody needs it -> skip the whole scan
+    need2 = (br.n >= 2) & ~f1.hit
+
+    def scan2(_):
+        f2 = _fine_scan(m, dense, field, origin, dirs, br.z2, fine_span,
+                        n_fine, need2)
+        return f2.hit, f2.z_hit
+
+    def skip2(_):
+        return jnp.zeros_like(f1.hit), jnp.zeros_like(f1.z_hit)
+
+    hit2, z2 = jax.lax.cond(jnp.any(need2), scan2, skip2, None)
+
+    hit = f1.hit | hit2
+    z_hit = jnp.where(f1.hit, f1.z_hit, z2)
 
     vertex = origin + dirs * z_hit[..., None]
     ray_norm = jnp.linalg.norm(dirs, axis=-1)
@@ -284,9 +298,10 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
 
 
 def _grad6(m: VoxelMap, dense, field, pos_world):
-    """Central-difference gradient from 6 nearest-voxel taps."""
+    """Central-difference gradient from 6 nearest-voxel taps (reads the
+    NaN-encoded view; NaN taps recover the raw init/empty value)."""
     inv_vs = m.inverse_voxel_size
-    vol = dense[field.select_channel]
+    vol = dense["F"]
     spec = [c for c in m.channels if c.name == field.select_channel][0]
     base = pos_world * inv_vs
     grads = []
@@ -294,7 +309,7 @@ def _grad6(m: VoxelMap, dense, field, pos_world):
         e = jnp.zeros((3,)).at[axis].set(1.0)
         for sgn in (1.0, -1.0):
             val, _ = _sample_volume(vol, base + sgn * e, m.size, spec.empty)
-            grads.append(val)
+            grads.append(jnp.nan_to_num(val, nan=spec.init))
     g = jnp.stack([grads[0] - grads[1], grads[2] - grads[3],
                    grads[4] - grads[5]], axis=-1)
     return g * 0.5

@@ -57,8 +57,10 @@ def track_kernel(in_vertex, in_normal, ref_vertex, ref_normal,
 
     ix = jnp.clip(px.astype(jnp.int32), 0, rW - 1)
     iy = jnp.clip(py.astype(jnp.int32), 0, rH - 1)
-    ref_n = ref_normal[iy, ix]
-    ref_v = ref_vertex[iy, ix]
+    # one fused 6-wide row gather (association cost is per-row, not per-word)
+    ref_vn = jnp.concatenate([ref_vertex, ref_normal], axis=-1)[iy, ix]
+    ref_v = ref_vn[..., :3]
+    ref_n = ref_vn[..., 3:]
 
     no_ref_normal = ref_n[..., 0] == INVALID
     diff = ref_v - proj_vertex
