@@ -236,36 +236,46 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     # coarse bracketing at half image resolution: brackets vary smoothly
     # across rays and the pooled mip already smears the band by +-MIP
     # voxels, so a 2x2 ray block shares its brackets (4x fewer samples)
-    if H % 2 == 0 and W % 2 == 0:
+    # the 2x2-shared fine result is valid when neighbouring rays' surface-z
+    # spread (~ z * tan(incidence) / fx) stays within the refine window —
+    # i.e. at real camera pixel densities; low-res/wide-angle runs keep the
+    # full-res fine scan
+    half_res = (H % 2 == 0) and (W % 2 == 0) and W >= 160
+    if half_res:
         dirs_h = 0.25 * (dirs[0::2, 0::2] + dirs[1::2, 0::2]
                          + dirs[0::2, 1::2] + dirs[1::2, 1::2])
         br_h, dz1 = _coarse_sweep(mip, field, origin, dirs_h, near, far,
                                   n_planes, size_mip, inv_vs_mip)
-        up = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
-        # widen one coarse step to absorb half-res disagreement
-        br = _Bracket(z1=jnp.maximum(up(br_h.z1) - dz1, near),
-                      z2=jnp.maximum(up(br_h.z2) - dz1, near),
-                      n=up(br_h.n), prev_in=up(br_h.prev_in))
         extra = 2.0 * dz1
     else:
+        dirs_h, br_h = None, None
         br, dz1 = _coarse_sweep(mip, field, origin, dirs, near, far,
                                 n_planes, size_mip, inv_vs_mip)
         extra = 0.0
 
     # fine sampling: step <= half the band thickness detects every crossing;
-    # the linear solve recovers sub-step accuracy (band-linear field)
+    # the linear solve recovers sub-step accuracy (band-linear field).
+    # The scan runs on the HALF-RES rays (the sweep cost is per-sample);
+    # a full-res refine pass below re-validates every pixel's crossing.
     fine_span = 2.2 * dz1 + extra
     fine_step = 0.5 * thickness
     n_fine = max(8, int(fine_span / fine_step) + 1)
-    f1 = _fine_scan(m, dense, field, origin, dirs, br.z1, fine_span, n_fine,
-                    br.n >= 1)
+    if half_res:
+        fo, fd, fbr = origin, dirs_h, br_h
+        fbr = _Bracket(z1=jnp.maximum(fbr.z1 - dz1, near),
+                       z2=jnp.maximum(fbr.z2 - dz1, near),
+                       n=fbr.n, prev_in=fbr.prev_in)
+    else:
+        fo, fd, fbr = origin, dirs, br
+    f1 = _fine_scan(m, dense, field, fo, fd, fbr.z1, fine_span, n_fine,
+                    fbr.n >= 1)
 
     # second-chance bracket (rays that grazed the first shell without a
     # valid crossing); usually nobody needs it -> skip the whole scan
-    need2 = (br.n >= 2) & ~f1.hit
+    need2 = (fbr.n >= 2) & ~f1.hit
 
     def scan2(_):
-        f2 = _fine_scan(m, dense, field, origin, dirs, br.z2, fine_span,
+        f2 = _fine_scan(m, dense, field, fo, fd, fbr.z2, fine_span,
                         n_fine, need2)
         return f2.hit, f2.z_hit
 
@@ -276,6 +286,15 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
 
     hit = f1.hit | hit2
     z_hit = jnp.where(f1.hit, f1.z_hit, z2)
+
+    if half_res:
+        up = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+        hit = up(hit)
+        z_hit = up(z_hit)
+        # full-res validation + sub-step re-solve around the half-res z:
+        # pixels whose own ray has no crossing there (silhouettes) drop out
+        z_hit, hit = _refine(m, dense, field, origin, dirs, z_hit, hit,
+                             3.0 * fine_step)
 
     vertex = origin + dirs * z_hit[..., None]
     ray_norm = jnp.linalg.norm(dirs, axis=-1)
@@ -295,6 +314,36 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
                                jnp.zeros_like(normal[..., 1:])], axis=-1)
     normal = jnp.where(bad[..., None], invalid, normal)
     return RaycastResult(vertex=vertex, normal=normal, t_hit=t_hit)
+
+
+def _refine(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta):
+    """Full-res re-solve of the crossing within +/-delta of ``z_hit``.
+
+    Samples the field at z-delta and z+delta per pixel; a valid
+    outside->inside pair re-solves the linear crossing (and corrects the
+    2x2-shared fine result per pixel), no pair -> the pixel becomes a miss
+    (its own ray has no surface there, e.g. at silhouettes).
+    """
+    inv_vs = m.inverse_voxel_size
+    outside = 1.0 if field.invert_normals else 0.0
+
+    def sample(z):
+        pos = (origin + dirs * z[..., None]) * inv_vs
+        f, _ = _sample_volume(dense["F"], pos, m.size, outside)
+        return f
+
+    f_lo = sample(z_hit - delta)
+    f_hi = sample(z_hit + delta)
+    pair = ~jnp.isnan(f_lo) & ~jnp.isnan(f_hi)
+    crossing = pair & ~field.is_inside(f_lo) & field.is_inside(f_hi)
+    # drop only on positive evidence the pixel's own ray has no surface
+    # here (both samples observed, no crossing); unobserved -> keep
+    miss = pair & ~crossing
+    denom = f_lo - f_hi
+    denom = jnp.where(jnp.abs(denom) < 1e-12, -1e-12, denom)
+    frac = (f_hi - field.surf_boundary) / denom
+    z_new = z_hit + delta + 2.0 * delta * frac
+    return jnp.where(crossing, z_new, z_hit), hit & ~miss
 
 
 def _grad6(m: VoxelMap, dense, field, pos_world):
