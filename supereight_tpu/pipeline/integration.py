@@ -99,6 +99,19 @@ def depth_minmax_mips(depth: jnp.ndarray, levels: int | None = None):
 # Allocation: dense per-octant band tests
 # ----------------------------------------------------------------------
 
+def _minmax_atlas(mips):
+    """Flatten the min/max mip pyramid into one [N, 2] table + per-level
+    offsets, so octant tests need a single row gather."""
+    chunks = []
+    offsets = []
+    off = 0
+    for mn, mx in mips:
+        offsets.append(off)
+        chunks.append(jnp.stack([mn.reshape(-1), mx.reshape(-1)], axis=-1))
+        off += mn.size
+    return jnp.concatenate(chunks, axis=0), jnp.asarray(offsets, jnp.int32)
+
+
 def _octant_band_test(depth, mips, T_cw, K, size, voxel_size, side_vox,
                       band, mode):
     """For every octant of ``side_vox`` voxels: does it intersect the
@@ -121,18 +134,19 @@ def _octant_band_test(depth, mips, T_cw, K, size, voxel_size, side_vox,
            & (pix[..., 0] >= -margin) & (pix[..., 0] <= W - 1 + margin)
            & (pix[..., 1] >= -margin) & (pix[..., 1] <= H - 1 + margin))
 
-    # footprint min/max depth from the mip whose texel covers the footprint
+    # footprint min/max depth from the mip whose texel covers the footprint;
+    # one fused 2-wide row gather from a flattened mip atlas instead of a
+    # gather per level
     level = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(2.0 * margin, 1.0)))
                      .astype(jnp.int32), 1, len(mips)) - 1
-    dmin = jnp.full_like(z, jnp.inf)
-    dmax = jnp.zeros_like(z)
-    for li, (mn, mx) in enumerate(mips):
-        s = 1 << (li + 1)
-        iy = jnp.clip(pix[..., 1].astype(jnp.int32) // s, 0, H // s - 1)
-        ix = jnp.clip(pix[..., 0].astype(jnp.int32) // s, 0, W // s - 1)
-        sel = level == li
-        dmin = jnp.where(sel, mn[iy, ix], dmin)
-        dmax = jnp.where(sel, mx[iy, ix], dmax)
+    atlas, offsets = _minmax_atlas(mips)
+    s = jnp.int32(2) << level
+    iy = jnp.clip(pix[..., 1].astype(jnp.int32) // s, 0, H // s - 1)
+    ix = jnp.clip(pix[..., 0].astype(jnp.int32) // s, 0, W // s - 1)
+    flat = offsets[level] + iy * (W // s) + ix
+    mm = atlas[flat]                      # [..., 2] = (min, max)
+    dmin = mm[..., 0]
+    dmax = mm[..., 1]
     valid_d = dmax > 0
 
     znorm = jnp.sqrt(1.0 + (pos_cam[..., 0] / zsafe) ** 2
