@@ -95,3 +95,39 @@ class TestShardedPipeline:
         assert len(sh.device_set) == 8
         out = run_frames(st, fn, depths[:2], mesh=mesh)
         assert int(out.map.n_blocks) > 0
+
+
+class TestShardMapTracking:
+    def test_psum_reduction_matches_single_device(self, frames):
+        import jax.numpy as jnp
+        from supereight_tpu.parallel import tracking_dist
+        from supereight_tpu.pipeline import camera, preprocessing, tracking
+
+        depths, poses = frames
+        slam, fn = build()
+        # build a map + reference model with a few gt frames
+        state = slam.state
+        step = jax.jit(fn)
+        for i, d in enumerate(depths):
+            state = step(state, jnp.asarray(d), jnp.asarray(K4),
+                         jnp.asarray(i, jnp.int32), jnp.asarray(poses[i]))
+        kd = jnp.asarray(K4)
+        dp, vt, nm = preprocessing.build_pyramid(state.scaled_depth, kd, 3,
+                                                 neg_y=False)
+        view = camera.camera_matrix(kd) @ jnp.linalg.inv(state.raycast_pose)
+
+        # single-device iteration
+        td = tracking.track_kernel(vt[0], nm[0], state.ref_vertex,
+                                   state.ref_normal, state.pose, view)
+        e2_s, JTe_s, JTJ_s, count_s, _miss = tracking.reduce_kernel(td)
+        x = tracking.solve_normal_equations(JTe_s, JTJ_s)
+        pose_s = camera.se3_exp(x) @ state.pose
+
+        # shard_map + psum iteration over the 8-device mesh
+        mesh = make_mesh(8)
+        pose_d, e2_d, count_d = tracking_dist.track_step_sharded(
+            mesh, state.pose, vt[0], nm[0], state.ref_vertex,
+            state.ref_normal, view)
+        np.testing.assert_allclose(np.asarray(pose_d), np.asarray(pose_s),
+                                   atol=1e-5)
+        np.testing.assert_allclose(float(e2_d), float(e2_s), rtol=1e-5)
