@@ -191,3 +191,25 @@ class TestFieldUpdates:
         out2 = f.update(data, pos, jnp.asarray([2.0]),
                         jnp.asarray([True]), 1.0)
         assert float(out2["occupancy"][0]) < 0.0
+
+
+class TestNoiseRobustness:
+    def test_bilateral_tracking_with_sensor_noise(self):
+        """TUM-like sensor noise: tracking survives with the bilateral
+        filter on (the reference's -F path, `DenseSLAMSystem.cpp:132-139`)."""
+        rng = np.random.default_rng(7)
+        depths, poses = make_seq(8, sweep=0.05)
+        noisy = depths.astype(np.float32)
+        noise = rng.normal(0, 12.0, noisy.shape)       # ~12 mm sensor noise
+        noisy = np.clip(noisy + noise * (noisy > 0), 0, 65535).astype(np.uint16)
+        cfg = Configuration(volume_resolution=(128,) * 3,
+                            volume_size=(DIM,) * 3, pyramid=(4, 3, 2),
+                            block_capacity=4096, integration_rate=1,
+                            bilateral_filter=True)
+        slam = DenseSLAMSystem((H, W), cfg)
+        slam.setPose(poses[0])
+        for i in range(8):
+            st = slam.step(noisy[i], K4, i)
+        err = np.linalg.norm(np.asarray(st.pose)[:3, 3] - poses[-1][:3, 3])
+        assert err < 0.15
+        assert bool(st.tracked)
