@@ -79,8 +79,14 @@ def pack_view(m: VoxelMap, field):
     f = dense[field.select_channel]
     # NaN marks invalid; note f == init wherever invalid (a never-fused
     # voxel still holds the init value), so nan_to_num(F, init) recovers
-    # the raw field exactly — no second dense copy needed
-    return {"F": jnp.where(valid, f, jnp.nan)}
+    # the raw field exactly — no second dense copy needed.
+    # bf16 halves pack/mip/sample traffic; for a [-1,1] TSDF the rounding
+    # is <=2^-8, i.e. <1 mm surface error at mu=0.1 (occupancy log-odds
+    # stay f32: their range spans +-1000 and the zero crossing matters).
+    enc = jnp.where(valid, f, jnp.nan)
+    if field.invert_normals:
+        enc = enc.astype(jnp.bfloat16)
+    return {"F": enc}
 
 
 def build_mip(m: VoxelMap, field, dense=None, factor: int = 4):
@@ -111,8 +117,8 @@ def _sample_volume(vol, pos_vox, size, fill):
     v = jnp.floor(pos_vox).astype(jnp.int32)
     inb = ((v >= 0) & (v < size)).all(axis=-1)
     vc = jnp.clip(v, 0, size - 1)
-    val = vol[vc[..., 0], vc[..., 1], vc[..., 2]]
-    return jnp.where(inb, val, fill), inb
+    val = vol[vc[..., 0], vc[..., 1], vc[..., 2]].astype(jnp.float32)
+    return jnp.where(inb, val, jnp.float32(fill)), inb
 
 
 class _Bracket(NamedTuple):
