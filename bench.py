@@ -82,7 +82,7 @@ def main():
 
     cfg = Configuration(volume_resolution=(SIZE,) * 3, volume_size=(4.8,) * 3,
                         pyramid=(10, 5, 4), integration_rate=1,
-                        block_capacity=16384)
+                        block_capacity=12288)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
 
