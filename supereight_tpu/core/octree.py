@@ -372,6 +372,24 @@ def _trilinear(vals, factor):
     return jnp.sum(vals * w, axis=-1)
 
 
+def interp_multiscale(m: VoxelMap, channel: str, pos):
+    """Trilinear interpolation whose corners fall back to the deepest
+    allocated node value where leaf blocks are missing.
+
+    Parity with the reference's gather fallback for partially-allocated
+    neighbourhoods (`interpolation/interp_gather.hpp:105-237` fetches via
+    the octree and coarse octants when a neighbour block is absent).
+    """
+    base = jnp.floor(pos).astype(jnp.int32)
+    factor = pos - base
+    lower = jnp.maximum(base, 0)
+    offs = _corner_offsets()
+    corner = lower[..., None, :] + offs
+    vals = get_multiscale(m, channel, corner[..., 0], corner[..., 1],
+                          corner[..., 2]).astype(jnp.float32)
+    return _trilinear(vals, factor)
+
+
 def grad(m: VoxelMap, channel: str, pos):
     """Trilinearly-blended central-difference gradient, [..., 3].
 

@@ -213,3 +213,29 @@ class TestCounts:
         m = alloc_voxels(make_map(), [[0, 0, 0], [8, 8, 8]])
         assert int(octree.leaves_count(m)) == 2
         assert int(octree.nodes_count(m)) == 2
+
+
+class TestInterpMultiscale:
+    def test_falls_back_to_node_values(self):
+        m = make_map(size=64)
+        coords = jnp.array([[0, 0, 0]], jnp.int32)
+        m = octree.allocate_octants(m, coords, jnp.array([1]),
+                                    jnp.ones((1,), bool))
+        nv = dict(m.node_values[2])
+        nv["v"] = jnp.full_like(nv["v"], 7.0)
+        node_values = list(m.node_values)
+        node_values[2] = nv
+        m = m.replace(node_values=node_values)
+        # interior of the coarse octant, no leaf blocks anywhere
+        got = float(octree.interp_multiscale(
+            m, "v", jnp.asarray([[5.5, 5.5, 5.5]]))[0])
+        assert got == 7.0
+
+    def test_matches_leaf_interp_when_allocated(self):
+        m = alloc_voxels(make_map(), [[8, 8, 8]])
+        m = octree.set_voxels(m, "v", jnp.array([9]), jnp.array([9]),
+                              jnp.array([9]), jnp.array([4.0]))
+        pos = jnp.asarray([[9.0, 9.0, 9.0]])
+        a = float(octree.interp(m, "v", pos)[0])
+        b = float(octree.interp_multiscale(m, "v", pos)[0])
+        assert a == b
