@@ -113,8 +113,34 @@ void* se_raw_open(const char* path, int ratio) {
   if (f->base == MAP_FAILED) { f->base = nullptr; delete f; return nullptr; }
   memcpy(&f->width, f->base, 4);
   memcpy(&f->height, f->base + 4, 4);
+  // Never trust the mmap'd header: a corrupt/truncated file would otherwise
+  // produce zero dims or frame pointers past the mapping (SIGBUS in
+  // decode_into).  Bound dims, require at least one whole frame, and require
+  // every per-frame header to agree with frame 0.
+  if (f->width <= 0 || f->height <= 0 ||
+      f->width > 16384 || f->height > 16384) {
+    munmap(const_cast<uint8_t*>(f->base), f->bytes);
+    f->base = nullptr; delete f; return nullptr;
+  }
   f->frame_bytes = 16 + size_t(f->width) * f->height * (2 + 3);
+  if (f->bytes < f->frame_bytes) {
+    munmap(const_cast<uint8_t*>(f->base), f->bytes);
+    f->base = nullptr; delete f; return nullptr;
+  }
   f->num_frames = f->bytes / f->frame_bytes;
+  for (size_t i = 0; i < f->num_frames; ++i) {
+    int32_t w, h;
+    memcpy(&w, f->base + i * f->frame_bytes, 4);
+    memcpy(&h, f->base + i * f->frame_bytes + 4, 4);
+    if (w != f->width || h != f->height) {  // disagreeing frame header
+      f->num_frames = i;                    // expose only the valid prefix
+      break;
+    }
+  }
+  if (f->num_frames == 0) {
+    munmap(const_cast<uint8_t*>(f->base), f->bytes);
+    f->base = nullptr; delete f; return nullptr;
+  }
   f->ratio = ratio > 0 ? ratio : 1;
   f->out_w = f->width / f->ratio;
   f->out_h = f->height / f->ratio;

@@ -114,10 +114,21 @@ def main(argv=None):
     if args.max_frames:
         n = min(n, args.max_frames)
     est_poses = []
+    render_images = None
+    frame_period = 1.0 / args.fps if args.fps > 0 else 0.0
     t_start = time.perf_counter()
     for frame in range(n):
         t0 = time.perf_counter()
         depth, _ = reader.read(frame)
+        # -f fps pacing: drop frames that arrive late, like the reference's
+        # DepthReader::get_next_frame (`interface.h:80-116`)
+        if frame_period > 0:
+            due = t_start + frame * frame_period
+            lag = time.perf_counter() - due
+            if lag > frame_period:
+                continue
+            if lag < 0:
+                time.sleep(-lag)
         t1 = time.perf_counter()
         gt = gt_poses[frame] if gt_poses is not None else None
         if args.staged:
@@ -129,15 +140,26 @@ def main(argv=None):
             st.pose.block_until_ready()
             stage_t = {}
         t2 = time.perf_counter()
+        # render the triptych every rendering_rate frames
+        # (`benchmark.cpp:150-158`)
+        t_render = 0.0
+        if args.rendering_rate > 0 and frame % args.rendering_rate == 0:
+            tr = time.perf_counter()
+            render_images = (slam.renderDepth(), slam.renderTrack(),
+                             slam.renderVolume())
+            render_images[2].block_until_ready()
+            t_render = time.perf_counter() - tr
+            Stats.sample("rendering", t_render)
+        t3 = time.perf_counter()
         pos = np.asarray(st.pose[:3, 3])
         est_poses.append(np.asarray(st.pose))
         Stats.sample("computation", t2 - t1)
-        Stats.sample("total", t2 - t0)
+        Stats.sample("total", t3 - t0)
         g = lambda s: stage_t.get(s, 0.0)
         log.write(f"{frame}\t{t1 - t0:.8f}\t{g('preprocessing'):.8f}\t"
                   f"{g('tracking'):.8f}\t{g('integration'):.8f}\t"
-                  f"{g('raycasting'):.8f}\t0\t"
-                  f"{t2 - t1:.8f}\t{t2 - t0:.8f}\t"
+                  f"{g('raycasting'):.8f}\t{t_render:.8f}\t"
+                  f"{t2 - t1:.8f}\t{t3 - t0:.8f}\t"
                   f"{pos[0]:.6f}\t{pos[1]:.6f}\t{pos[2]:.6f}\t"
                   f"{int(bool(st.tracked))}\t{int(bool(st.integrated))}\n")
     wall = time.perf_counter() - t_start

@@ -69,12 +69,26 @@ def decode_morton(code):
 # Octant keys: (morton << 5) | level
 # ---------------------------------------------------------------------------
 
+def check_key_capacity(max_depth) -> None:
+    """Voxel-level octant keys carry 10 bits/axis: cubes beyond 1024^3
+    voxels would silently truncate (the reference widens to 21 bits/axis,
+    `octree_defines.h:38-44`; block-granularity keys here already reach
+    8192^3 since blocks are 8^3).  Static shapes make this checkable at
+    trace time — fail loudly instead."""
+    if isinstance(max_depth, int) and max_depth > MAX_COORD_BITS:
+        raise ValueError(
+            f"voxel-level morton keys support max_depth <= {MAX_COORD_BITS} "
+            f"(1024^3 voxels); got max_depth={max_depth}. Use block-"
+            f"granularity keys (block_key) for larger volumes.")
+
+
 def key_encode(x, y, z, level, max_depth):
     """Build octant keys from voxel coordinates at ``level``.
 
     Coordinates are truncated to the octant grid of that level, mirroring the
     prefix masking of the reference encoder (`octant_ops.hpp:50-55`).
     """
+    check_key_capacity(max_depth)
     level = jnp.asarray(level, jnp.uint32)
     shift = jnp.uint32(max_depth) - level
     x = (jnp.asarray(x, jnp.uint32) >> shift) << shift

@@ -104,21 +104,10 @@ class OFusionField:
     def is_inside(self, f):
         return f > self.surf_boundary
 
-    def step_scale(self, f):
-        """Occupancy marches at fixed one-voxel steps (`rendering_impl.hpp:43`)."""
-        return jnp.zeros_like(f)
-
     def sample_valid(self, data):
         """Only voxels actually fused (timestamp > 0) and not free-locked
         contribute (`bfusion/rendering_impl.hpp:52`)."""
         return (data["occupancy"] > -100.0) & (data["timestamp"] > 0.0)
-
-    def interp_window(self, f):
-        """Occupancy always refines through interpolation when valid."""
-        return jnp.ones_like(f, dtype=bool)
-
-    def skip_stepsize(self, step, largestep):
-        return jnp.asarray(step, jnp.float32)
 
 
 def compute_stepsize(dist_travelled, hf_band, voxel_size):

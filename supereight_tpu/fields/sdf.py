@@ -77,19 +77,7 @@ class SDFField:
     def is_inside(self, f):
         return f < self.surf_boundary
 
-    def step_scale(self, f):
-        """Adaptive march step: f * mu (sphere tracing), floored to one voxel
-        by the raycaster (`rendering_impl.hpp:60`)."""
-        return f * self.mu
-
     def sample_valid(self, data):
         """weight == 0 marks allocated-but-never-fused voxels, skipped at
         largestep (`rendering_impl.hpp:49-53`)."""
         return data["weight"] != 0
-
-    def interp_window(self, f):
-        """Trilinear refinement only near the surface (`rendering_impl.hpp:55`)."""
-        return (f <= 0.1) & (f >= -0.5)
-
-    def skip_stepsize(self, step, largestep):
-        return jnp.asarray(largestep, jnp.float32)

@@ -112,8 +112,8 @@ def _minmax_atlas(mips):
     return jnp.concatenate(chunks, axis=0), jnp.asarray(offsets, jnp.int32)
 
 
-def _octant_band_test(depth, mips, T_cw, K, size, voxel_size, side_vox,
-                      band, mode):
+def _octant_band_test(depth, atlas_off, T_cw, K, size, voxel_size, side_vox,
+                      band, mode, n_mips):
     """For every octant of ``side_vox`` voxels: does it intersect the
     allocation region?  ``mode``: "band" (SDF: +/- band/2 around surface) or
     "front" (occupancy: from camera to surface + band/2).
@@ -138,8 +138,8 @@ def _octant_band_test(depth, mips, T_cw, K, size, voxel_size, side_vox,
     # one fused 2-wide row gather from a flattened mip atlas instead of a
     # gather per level
     level = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(2.0 * margin, 1.0)))
-                     .astype(jnp.int32), 1, len(mips)) - 1
-    atlas, offsets = _minmax_atlas(mips)
+                     .astype(jnp.int32), 1, n_mips) - 1
+    atlas, offsets = atlas_off
     s = jnp.int32(2) << level
     iy = jnp.clip(pix[..., 1].astype(jnp.int32) // s, 0, H // s - 1)
     ix = jnp.clip(pix[..., 0].astype(jnp.int32) // s, 0, W // s - 1)
@@ -169,8 +169,9 @@ def allocate_sdf(m: VoxelMap, depth, pose, K, band: float,
     if mips is None:
         mips = depth_minmax_mips(depth)
     T_cw = jnp.linalg.inv(pose)
-    want = _octant_band_test(depth, mips, T_cw, K, m.size, m.voxel_size,
-                             BLOCK_SIDE, band, "band")
+    want = _octant_band_test(depth, _minmax_atlas(mips), T_cw, K, m.size,
+                             m.voxel_size, BLOCK_SIDE, band, "band",
+                             len(mips))
     return octree.allocate_block_mask(m, want)
 
 
@@ -186,21 +187,23 @@ def allocate_ofusion(m: VoxelMap, depth, pose, K, band: float,
     T_cw = jnp.linalg.inv(pose)
     size, vs = m.size, m.voxel_size
     block_level = m.block_level
+    atlas_off = _minmax_atlas(mips)   # built once, shared by all 3 zones
 
     masks: List[jnp.ndarray] = [
         jnp.zeros((1 << l,) * 3, bool) for l in range(block_level + 1)
     ]
     masks[block_level] = _octant_band_test(
-        depth, mips, T_cw, K, size, vs, BLOCK_SIDE, band, "band")
+        depth, atlas_off, T_cw, K, size, vs, BLOCK_SIDE, band, "band",
+        len(mips))
     # mid zone (10-voxel steps -> 16-voxel octants)
     lvl_mid = max(block_level - 1, 0)
-    mid = _octant_band_test(depth, mips, T_cw, K, size, vs, size >> lvl_mid,
-                            5.0 * band, "band")
+    mid = _octant_band_test(depth, atlas_off, T_cw, K, size, vs,
+                            size >> lvl_mid, 5.0 * band, "band", len(mips))
     masks[lvl_mid] = masks[lvl_mid] | mid
     # far zone (30-voxel steps -> 32-voxel octants): all remaining free space
     lvl_far = max(block_level - 2, 0)
-    far = _octant_band_test(depth, mips, T_cw, K, size, vs, size >> lvl_far,
-                            band, "front")
+    far = _octant_band_test(depth, atlas_off, T_cw, K, size, vs,
+                            size >> lvl_far, band, "front", len(mips))
     masks[lvl_far] = masks[lvl_far] | far
     return octree.allocate_octant_masks(m, masks)
 

@@ -178,12 +178,14 @@ def _fine_scan(m, dense, field, origin, dirs, z_start, span, n_samples,
     (`rendering_impl.hpp:66`)."""
     inv_vs = m.inverse_voxel_size
     dz = span / n_samples
-    outside = 1.0 if field.invert_normals else 0.0
 
     def sample(z):
-        """One NaN-encoded lookup: value + validity in a single gather."""
+        """One NaN-encoded lookup: value + validity in a single gather.
+        Out-of-volume fills NaN so it is invalid like unobserved voxels
+        (an observed-looking OOB fill could synthesize a spurious crossing
+        at the volume boundary)."""
         pos = (origin + dirs * z[..., None]) * inv_vs
-        f, _ = _sample_volume(dense["F"], pos, m.size, outside)
+        f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan)
         return f, ~jnp.isnan(f)
 
     def body(j, st: _Fine):
@@ -335,11 +337,11 @@ def _refine(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta):
     (its own ray has no surface there, e.g. at silhouettes).
     """
     inv_vs = m.inverse_voxel_size
-    outside = 1.0 if field.invert_normals else 0.0
 
     def sample(z):
+        # NaN OOB fill: out-of-volume samples are invalid (never pair up)
         pos = (origin + dirs * z[..., None]) * inv_vs
-        f, _ = _sample_volume(dense["F"], pos, m.size, outside)
+        f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan)
         return f
 
     f_lo = sample(z_hit - delta)

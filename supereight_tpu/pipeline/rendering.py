@@ -71,15 +71,14 @@ def render_track(result):
 
 
 def render_volume(m, field, view, H, W, light=LIGHT, ambient=AMBIENT,
-                  vertex=None, normal=None, max_fine_steps: int = 64,
+                  vertex=None, normal=None,
                   near=NEAR_PLANE, far=FAR_PLANE):
     """renderVolumeKernel (`rendering.cpp:214-283`): Lambertian shading of
     the raycast surface.  Pass precomputed ``vertex``/``normal`` to reuse the
     tracking raycast (render==false path); otherwise re-raycasts from
     ``view`` (= pose @ inv(K))."""
     if vertex is None or normal is None:
-        rc = _raycast.raycast(m, field, view, H, W, near, far,
-                              max_fine_steps=max_fine_steps)
+        rc = _raycast.raycast(m, field, view, H, W, near, far)
         vertex, normal = rc.vertex, rc.normal
 
     light = jnp.asarray(light, jnp.float32)

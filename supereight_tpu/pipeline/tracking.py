@@ -85,8 +85,11 @@ def track_kernel(in_vertex, in_normal, ref_vertex, ref_normal,
 
 def reduce_kernel(td: TrackData):
     """Normal-equation sums (`tracking.cpp:66-224`): returns
-    (error2, JTe[6], JTJ[6,6], count, miss_counts[3]).  The reference's
-    8x32 stripe buffer + tree merge is just one ``jnp.sum`` on TPU."""
+    (error2, JTe[6], JTJ[6,6], count).  The reference's 8x32 stripe buffer +
+    tree merge is just one ``jnp.sum`` on TPU.  The reference also
+    accumulates per-failure-code counts into the same buffer; those live in
+    ``TrackData.result`` (renderTrack / PerfStats consume them from there)
+    rather than in this reduction."""
     ok = (td.result == 1).astype(jnp.float32)
     w = ok[..., None]
     error2 = jnp.sum(ok * td.error * td.error)
@@ -94,12 +97,7 @@ def reduce_kernel(td: TrackData):
     Jw = w * td.J
     JTJ = jnp.einsum("hwi,hwj->ij", Jw, td.J)
     count = jnp.sum(ok)
-    miss = jnp.stack([
-        jnp.sum((td.result == -4).astype(jnp.float32)),
-        jnp.sum((td.result == -5).astype(jnp.float32)),
-        jnp.sum(((td.result < 1) & (td.result > -4)).astype(jnp.float32)),
-    ])
-    return error2, JTe, JTJ, count, miss
+    return error2, JTe, JTJ, count
 
 
 def solve_normal_equations(JTe, JTJ):
@@ -130,7 +128,7 @@ def _level_loop(state: TrackState, n_iters: int, in_vertex, in_normal,
     def body(st: TrackState):
         td = track_kernel(in_vertex, in_normal, ref_vertex, ref_normal,
                           st.pose, view)
-        error2, JTe, JTJ, count, _ = reduce_kernel(td)
+        error2, JTe, JTJ, count = reduce_kernel(td)
         x = solve_normal_equations(JTe, JTJ)
         delta = camera.se3_exp(x)
         pose = delta @ st.pose

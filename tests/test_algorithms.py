@@ -48,3 +48,59 @@ class TestUniqueMultiscale:
         kept = np.asarray(keys)[np.asarray(keep)]
         levels = [int(morton.key_level(jnp.asarray([k]))[0]) for k in kept]
         assert 3 in levels and len(kept) >= 1
+
+
+class TestActiveListFilter:
+    """`algorithms::filter` / `in_frustum` / `getBlockList` parity
+    (`filter.hpp:37-117`, `octree.hpp:858-895`)."""
+
+    def _map(self):
+        from supereight_tpu.core import octree
+        from supereight_tpu.core.octree import ChannelSpec, BLOCK_SIDE
+        m = octree.init(64, 4.8, (ChannelSpec("v", jnp.float32, 0.0, 0.0),),
+                        capacity=64)
+        # two blocks: one in front of the camera, one behind it
+        coords = jnp.asarray([[4, 4, 6], [4, 4, 0]], jnp.int32)
+        m = octree.allocate_blocks(m, coords, jnp.asarray([True, True]))
+        return m
+
+    def _camera(self):
+        # camera at volume centre looking along +z
+        pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([2.4, 2.4, 2.4]))
+        K = jnp.asarray([[60.0, 0, 40, 0], [0, 60.0, 30, 0],
+                         [0, 0, 1, 0], [0, 0, 0, 1]], jnp.float32)
+        return pose, K
+
+    def test_in_frustum(self):
+        m = self._map()
+        pose, K = self._camera()
+        mask = np.asarray(algorithms.in_frustum(m, pose, K, (60, 80)))
+        live = np.asarray(__import__("supereight_tpu.core.octree",
+                                     fromlist=["slot_mask"]).slot_mask(m))
+        # the +z block is visible, the behind-camera block is not
+        assert mask[live][0] != mask[live][1]
+        assert mask[live].sum() == 1
+
+    def test_filter_blocks_composes_predicates(self):
+        m = self._map()
+        pose, K = self._camera()
+        frustum = algorithms.in_frustum(m, pose, K, (60, 80))
+        mask = algorithms.filter_blocks(m, frustum,
+                                        lambda mm: mm.active)
+        live = int(mask.sum())
+        assert live == 1
+        # a predicate that rejects everything wins
+        none = algorithms.filter_blocks(m, frustum,
+                                        jnp.zeros(m.capacity, bool))
+        assert int(none.sum()) == 0
+
+    def test_block_list(self):
+        from supereight_tpu.core import octree
+        m = self._map()
+        coords, mask = algorithms.block_list(m)
+        got = set(map(tuple, np.asarray(coords)[np.asarray(mask)].tolist()))
+        assert got == {(4, 4, 6), (4, 4, 0)}
+        # active_only intersects with the active flags
+        m2 = m.replace(active=jnp.zeros_like(m.active))
+        _, mask2 = algorithms.block_list(m2, active_only=True)
+        assert int(mask2.sum()) == 0

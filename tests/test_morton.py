@@ -92,3 +92,16 @@ def test_far_corner_and_face_neighbour():
     assert (int(nx), int(ny), int(nz)) == (96, 16, 96)
     nx, ny, nz = morton.key_face_neighbour(k, 2, max_depth)  # -y
     assert (int(nx), int(ny), int(nz)) == (80, 0, 96)
+
+
+def test_key_capacity_guard():
+    """Voxel-level keys cap at 10 bits/axis (1024^3): deeper trees must fail
+    loudly instead of silently truncating (VERDICT r1; reference widens to
+    21 bits/axis via 64-bit keys, `octree_defines.h:38-44`)."""
+    import pytest
+    x = jnp.asarray([5])
+    # 1024^3 (max_depth=10) still works
+    k = morton.key_encode(x, x, x, 3, 10)
+    assert int(morton.key_level(k)[0]) == 3
+    with pytest.raises(ValueError):
+        morton.key_encode(x, x, x, 3, 11)   # 2048^3 would truncate

@@ -100,6 +100,16 @@ class TestSDFPipeline:
             assert img.shape == (H, W, 4) and img.dtype == np.uint8
         assert v.max() > 0   # something was shaded
 
+    def test_render_volume_free_view(self, run):
+        """renderVolume(view_pose, k) re-raycasts from an arbitrary pose
+        (`rendering.cpp:214-283` render==true path)."""
+        slam, states, poses, _ = run
+        view_pose = np.asarray(poses[-1]).copy()
+        view_pose[:3, 3] += np.asarray([0.05, -0.03, 0.02], np.float32)
+        v = np.asarray(slam.renderVolume(view_pose, K4))
+        assert v.shape == (H, W, 4) and v.dtype == np.uint8
+        assert v.max() > 0   # the re-raycast found and shaded the surface
+
 
 class TestOFusionPipeline:
     def test_ofusion_end_to_end(self):

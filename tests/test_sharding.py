@@ -119,7 +119,7 @@ class TestShardMapTracking:
         # single-device iteration
         td = tracking.track_kernel(vt[0], nm[0], state.ref_vertex,
                                    state.ref_normal, state.pose, view)
-        e2_s, JTe_s, JTJ_s, count_s, _miss = tracking.reduce_kernel(td)
+        e2_s, JTe_s, JTJ_s, count_s = tracking.reduce_kernel(td)
         x = tracking.solve_normal_equations(JTe_s, JTJ_s)
         pose_s = camera.se3_exp(x) @ state.pose
 
