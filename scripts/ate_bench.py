@@ -1,0 +1,115 @@
+"""Canonical quality+speed record: 96-frame ICP run at 256^3 on the chip.
+
+Runs the fused scan pipeline (same code path as bench.py), collects the
+per-frame pose trajectory as scan outputs, computes ATE/RPE against ground
+truth (apps.evaluate), and writes bench_data/ate_icp_256.json (or
+ate_icp_ofusion_256.json with --field ofusion).
+
+Usage: python scripts/ate_bench.py [--field sdf|ofusion] [--gt]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import signal
+    signal.alarm(3300)
+    field_name = "ofusion" if "--field" in sys.argv and \
+        sys.argv[sys.argv.index("--field") + 1] == "ofusion" else "sdf"
+    use_gt = "--gt" in sys.argv
+
+    import jax
+    import jax.numpy as jnp
+    from supereight_tpu.config import Configuration
+    from supereight_tpu.pipeline import DenseSLAMSystem
+    from supereight_tpu.pipeline.system import process_frame
+    from supereight_tpu.apps import evaluate
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    z = np.load(os.path.join(here, "bench_data/synthetic_256_frames.npz"))
+    depths, poses = z["depths"], z["poses"]
+    k = np.asarray([240.6, 240.0, 160.0, 120.0], np.float32)
+    H, W, SIZE, NF = 240, 320, 256, 96
+
+    cfg = Configuration(volume_resolution=(SIZE,) * 3,
+                        volume_size=(4.8,) * 3, pyramid=(10, 5, 4),
+                        integration_rate=1,
+                        block_capacity=12288,
+                        mu=0.1 if field_name == "sdf" else 0.05,
+                        field_type=field_name)
+    slam = DenseSLAMSystem((H, W), cfg)
+    slam.setPose(poses[0])
+
+    fn = functools.partial(process_frame, field=slam.field,
+                           iterations=slam.iterations, tracking_rate=1,
+                           integration_rate=1, bilateral=False,
+                           icp_threshold=cfg.icp_threshold,
+                           use_gt=use_gt, neg_y=False)
+    k_dev = jnp.asarray(k)
+    depths_dev = jnp.asarray(depths)
+    gt_dev = jnp.asarray(poses)
+
+    def scan_step(state, inp):
+        depth, frame, gt = inp
+        state = fn(state, depth, k_dev, frame, gt)
+        return state, state.pose
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(state, depth_chunk, frame0, gts):
+        frames = frame0 + jnp.arange(depth_chunk.shape[0], dtype=jnp.int32)
+        state, ps = jax.lax.scan(scan_step, state,
+                                 (depth_chunk, frames, gts))
+        return state, ps
+
+    CHUNK = 16
+    t0 = time.perf_counter()
+    st, ps = run_chunk(slam.state, depths_dev[:CHUNK],
+                       jnp.asarray(0, jnp.int32), gt_dev[:CHUNK])
+    jax.block_until_ready(st.pose)
+    print(f"# compile+first chunk: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    all_ps = [np.asarray(ps)]
+    t0 = time.perf_counter()
+    for s in range(CHUNK, NF, CHUNK):
+        st, ps = run_chunk(st, depths_dev[s:s + CHUNK],
+                           jnp.asarray(s, jnp.int32), gt_dev[s:s + CHUNK])
+        all_ps.append(ps)
+    np.asarray(st.pose)
+    dt = time.perf_counter() - t0
+    fps = (NF - CHUNK) / dt
+    est = np.concatenate([np.asarray(p) for p in all_ps], axis=0)
+
+    ate = evaluate.ate(list(est), list(poses[:NF]))
+    rpe = evaluate.rpe(list(est), list(poses[:NF]))
+    rec = {
+        "frames": NF,
+        "field": field_name,
+        "mode": "gt" if use_gt else "icp",
+        "steady_fps": round(fps, 2),
+        "ate_rmse_m": round(ate["rmse"], 4),
+        "ate_max_m": round(ate["max"], 4),
+        "rpe_trans_rmse_m": round(rpe["trans_rmse"], 5),
+        "rpe_rot_rmse_deg": round(rpe["rot_rmse_deg"], 3),
+        "blocks": int(st.map.n_blocks),
+        "overflow": int(st.map.overflow),
+    }
+    print(json.dumps(rec))
+    suffix = "" if field_name == "sdf" else "_ofusion"
+    mode = "" if not use_gt else "_gt"
+    path = os.path.join(here, f"bench_data/ate_icp{suffix}_256{mode}.json")
+    with open(path, "w") as fh:
+        json.dump(rec, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

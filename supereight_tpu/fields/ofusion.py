@@ -19,7 +19,6 @@ from typing import Dict
 import jax.numpy as jnp
 
 from supereight_tpu.core.octree import ChannelSpec
-from supereight_tpu.pipeline.constants import FAR_PLANE, NEAR_PLANE
 
 DELTA_T = 1.0
 CAPITAL_T = 4.0

@@ -7,12 +7,11 @@ Reference call stack (`DenseSLAMSystem.cpp:206-268`):
 Measured on TPU v5e: random element gathers ~0.12 G/s, but *slice* gathers
 cost ~23 ns per row descriptor regardless of row width.  The design follows:
 
-* Allocation: instead of per-pixel ray marching with atomic appends
-  (`kfusion/alloc_impl.hpp:54-118`), every *block* (and coarser octant for
-  occupancy) tests itself against a min/max depth mip once — ~40k lookups
-  total (<1 ms) instead of ~1M candidate scatters.  The test is a
-  conservative superset of the reference's band march (footprint margin
-  added), which only ever allocates extra blocks.
+* Allocation: the reference's exact per-pixel ray marches
+  (`kfusion/alloc_impl.hpp:54-118`, `bfusion/alloc_impl.hpp:56-129`) run
+  vectorized over a 2x-decimated pixel grid (block footprints cover many
+  pixels, so the block set is unchanged); the atomic list appends become
+  one dense dedupe scatter per level (~200k bool scatter-max ops).
 * Fusion: per-voxel work streams over the block table ``[capacity, 512]``.
   The only irregular access — the depth sample at each voxel's projected
   pixel (`kfusion/mapping_impl.hpp:41-42`) — is served block-locally:
@@ -31,6 +30,7 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from supereight_tpu.core import octree
 from supereight_tpu.core.octree import BLOCK_SIDE, BLOCK_VOXELS, VoxelMap
@@ -70,141 +70,160 @@ def _sample_depth(depth, pix, valid):
     return jnp.where(valid, d, 0.0)
 
 
-def _mip_levels(H, W, want=6):
-    lv = 0
-    while lv < want and H % 2 == 0 and W % 2 == 0 and min(H, W) > 8:
-        H //= 2
-        W //= 2
-        lv += 1
-    return lv
-
-
-def depth_minmax_mips(depth: jnp.ndarray, levels: int | None = None):
-    """Min/max depth pyramid (zeros = invalid, excluded from min)."""
-    H, W = depth.shape
-    if levels is None:
-        levels = _mip_levels(H, W)
-    mips = []
-    dmin = jnp.where(depth > 0, depth, jnp.inf)
-    dmax = depth
-    for _ in range(levels):
-        H, W = dmin.shape
-        dmin = dmin.reshape(H // 2, 2, W // 2, 2).min(axis=(1, 3))
-        dmax = dmax.reshape(H // 2, 2, W // 2, 2).max(axis=(1, 3))
-        mips.append((dmin, dmax))
-    return mips
-
-
 # ----------------------------------------------------------------------
-# Allocation: dense per-octant band tests
+# Allocation: exact per-pixel ray marches (dense-mask dedupe)
 # ----------------------------------------------------------------------
 
-def _minmax_atlas(mips):
-    """Flatten the min/max mip pyramid into one [N, 2] table + per-level
-    offsets, so octant tests need a single row gather."""
-    chunks = []
-    offsets = []
-    off = 0
-    for mn, mx in mips:
-        offsets.append(off)
-        chunks.append(jnp.stack([mn.reshape(-1), mx.reshape(-1)], axis=-1))
-        off += mn.size
-    return jnp.concatenate(chunks, axis=0), jnp.asarray(offsets, jnp.int32)
+def _alloc_decimation(m: VoxelMap, depth_shape) -> int:
+    """Pixel decimation for the allocation march.  A block is missed only if
+    its whole pixel footprint falls between sampled rays; the footprint at
+    the far plane is ``block_m * fx / far`` pixels, so stride 2 is lossless
+    while that stays >= 2 px.  K is traced, so we bound fx conservatively by
+    W/3 (60 deg horizontal fov or narrower); this holds for <=1024^3 maps
+    over 4-5 m volumes at >=160 px width."""
+    from .constants import FAR_PLANE
+    block_m = BLOCK_SIDE * m.voxel_size
+    fx_min = depth_shape[1] / 3.0
+    foot_far = block_m * fx_min / FAR_PLANE
+    return 2 if foot_far >= 4.0 else 1
 
 
-def _octant_band_test(depth, atlas_off, T_cw, K, size, voxel_size, side_vox,
-                      band, mode, n_mips):
-    """For every octant of ``side_vox`` voxels: does it intersect the
-    allocation region?  ``mode``: "band" (SDF: +/- band/2 around surface) or
-    "front" (occupancy: from camera to surface + band/2).
-    Returns bool[n,n,n], n = size//side_vox.
-    """
-    n = size // side_vox
-    half_diag = 0.8660254 * side_vox * voxel_size
-    g = (jnp.arange(n, dtype=jnp.float32) + 0.5) * (side_vox * voxel_size)
-    cx, cy, cz = jnp.meshgrid(g, g, g, indexing="ij")
-    centers = jnp.stack([cx, cy, cz], axis=-1)
-    pos_cam, pix = _project(T_cw, K, centers)
-    z = pos_cam[..., 2]
+def _pixel_rays(depth, pose, K, decim: int):
+    """Per-(decimated-)pixel world vertex at the measured depth + unit
+    direction toward the camera (`kfusion/alloc_impl.hpp:83-87`).
 
+    The strided pixel set always includes the last row/column: blocks seen
+    only by border rays would otherwise be missed (no interior neighbour
+    shares them)."""
     H, W = depth.shape
-    zsafe = jnp.maximum(z, 1e-3)
-    margin = K[0, 0] * half_diag / zsafe
-    inb = ((z >= 1e-4)
-           & (pix[..., 0] >= -margin) & (pix[..., 0] <= W - 1 + margin)
-           & (pix[..., 1] >= -margin) & (pix[..., 1] <= H - 1 + margin))
-
-    # footprint min/max depth from the mip whose texel covers the footprint;
-    # one fused 2-wide row gather from a flattened mip atlas instead of a
-    # gather per level
-    level = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(2.0 * margin, 1.0)))
-                     .astype(jnp.int32), 1, n_mips) - 1
-    atlas, offsets = atlas_off
-    s = jnp.int32(2) << level
-    iy = jnp.clip(pix[..., 1].astype(jnp.int32) // s, 0, H // s - 1)
-    ix = jnp.clip(pix[..., 0].astype(jnp.int32) // s, 0, W // s - 1)
-    flat = offsets[level] + iy * (W // s) + ix
-    mm = atlas[flat]                      # [..., 2] = (min, max)
-    dmin = mm[..., 0]
-    dmax = mm[..., 1]
-    valid_d = dmax > 0
-
-    znorm = jnp.sqrt(1.0 + (pos_cam[..., 0] / zsafe) ** 2
-                     + (pos_cam[..., 1] / zsafe) ** 2)
-    dist = z * znorm
-    lo = dmin * znorm - band * 0.5 - half_diag
-    hi = dmax * znorm + band * 0.5 + half_diag
-    if mode == "band":
-        want = (dist >= lo) & (dist <= hi)
-    else:  # "front": camera .. surface + band/2
-        want = dist <= hi
-    return want & inb & valid_d
+    iy = jnp.minimum(jnp.arange((H + decim - 1) // decim + (1 if decim > 1
+                     else 0), dtype=jnp.int32) * decim, H - 1)
+    ix = jnp.minimum(jnp.arange((W + decim - 1) // decim + (1 if decim > 1
+                     else 0), dtype=jnp.int32) * decim, W - 1)
+    d = depth[iy][:, ix]
+    x = (ix.astype(jnp.float32) + 0.5)[None, :]
+    y = (iy.astype(jnp.float32) + 0.5)[:, None]
+    invK = jnp.linalg.inv(K)
+    kpose = pose @ invK
+    hom = jnp.stack([
+        jnp.broadcast_to(x, d.shape) * d, jnp.broadcast_to(y, d.shape) * d,
+        d, jnp.ones_like(d)], axis=-1)
+    vertex = jnp.einsum("ij,hwj->hwi", kpose, hom)[..., :3]
+    camera = pose[:3, 3]
+    to_cam = camera - vertex
+    dist = jnp.linalg.norm(to_cam, axis=-1, keepdims=True)
+    direction = to_cam / jnp.maximum(dist, 1e-12)
+    return d, vertex, direction, dist[..., 0], camera
 
 
 def allocate_sdf(m: VoxelMap, depth, pose, K, band: float,
                  mips=None) -> VoxelMap:
-    """SDF block allocation: every block intersecting the +/- band/2 strip
-    around the measured surface (buildAllocationList semantics,
-    `kfusion/alloc_impl.hpp:54-118`, evaluated per block not per pixel)."""
-    if mips is None:
-        mips = depth_minmax_mips(depth)
-    T_cw = jnp.linalg.inv(pose)
-    want = _octant_band_test(depth, _minmax_atlas(mips), T_cw, K, m.size,
-                             m.voxel_size, BLOCK_SIDE, band, "band",
-                             len(mips))
-    return octree.allocate_block_mask(m, want)
+    """SDF block allocation: the exact per-pixel band march of
+    ``buildAllocationList`` (`kfusion/alloc_impl.hpp:54-118`), vectorized.
+
+    Every pixel with depth > 0 marches a ``band``-long segment centred on
+    its measured surface point at voxel spacing; blocks containing any
+    sample are allocated (touched ones re-activated).  The reference's
+    atomic list append becomes one dense dedupe scatter
+    (``octree.allocate_blocks``).  ``mips`` is accepted for API
+    compatibility and unused.
+
+    Deviation from the scalar reference: pixels are 2x-decimated (see
+    ``_alloc_decimation``), so a sliver block whose band intersection is
+    grazed only by skipped rays can be missed (a few per frame, each
+    covering a fraction of one voxel of band); the old per-octant superset's
+    inflation at depth edges is gone entirely.
+    """
+    del mips
+    decim = _alloc_decimation(m, depth.shape)
+    d, vertex, direction, _, _ = _pixel_rays(depth, pose, K, decim)
+    n_steps = max(int(np.ceil(band * m.inverse_voxel_size)), 1)
+    # sample offsets from -band/2 toward the camera, voxel spacing
+    # (`alloc_impl.hpp:88-90`: origin = vertex - band/2 * dir, step = band/n)
+    t = -0.5 * band + (band / n_steps) * jnp.arange(n_steps,
+                                                    dtype=jnp.float32)
+    pts = vertex[..., None, :] + direction[..., None, :] * t[:, None]
+    vox = jnp.floor(pts.reshape(-1, 3) * m.inverse_voxel_size).astype(
+        jnp.int32)
+    valid = jnp.broadcast_to((d > 0)[..., None],
+                             d.shape + (n_steps,)).reshape(-1)
+    return octree.allocate_blocks(m, vox >> octree.BLOCK_BITS, valid)
 
 
 def allocate_ofusion(m: VoxelMap, depth, pose, K, band: float,
                      mips=None) -> VoxelMap:
-    """Occupancy multi-scale allocation (buildOctantList semantics,
-    `bfusion/alloc_impl.hpp:56-129`): fine blocks in the surface band,
-    coarser octants through the free space toward the camera (the
-    10x/30x-voxel step zones of `alloc_impl.hpp:37-45` become one octree
-    level per zone)."""
-    if mips is None:
-        mips = depth_minmax_mips(depth)
-    T_cw = jnp.linalg.inv(pose)
-    size, vs = m.size, m.voxel_size
+    """Occupancy multi-scale allocation: the exact distance-adaptive octant
+    march of ``buildOctantList`` (`bfusion/alloc_impl.hpp:56-129`),
+    vectorized.
+
+    Each pixel marches from half a band behind its surface point toward the
+    camera with the reference's step schedule (`compute_stepsize`,
+    `alloc_impl.hpp:37-45`): voxel steps through the band (-> blocks),
+    10-voxel steps to 1.5 bands travelled (-> 16-voxel octants, level
+    block_level-1 via `step_to_depth`), then 30-voxel steps all the way to
+    the camera (-> 32-voxel octants, level block_level-2).  Samples scatter
+    into per-level dense request masks (no atomic list appends).  ``mips``
+    is accepted for API compatibility and unused.
+    """
+    del mips
+    from .constants import FAR_PLANE
+    decim = _alloc_decimation(m, depth.shape)
+    d, vertex, direction, dist, _ = _pixel_rays(depth, pose, K, decim)
+    vs = m.voxel_size
+    inv_vs = m.inverse_voxel_size
     block_level = m.block_level
-    atlas_off = _minmax_atlas(mips)   # built once, shared by all 3 zones
+    origin = vertex - (0.5 * band) * direction
+    ok0 = d > 0
 
     masks: List[jnp.ndarray] = [
         jnp.zeros((1 << l,) * 3, bool) for l in range(block_level + 1)
     ]
-    masks[block_level] = _octant_band_test(
-        depth, atlas_off, T_cw, K, size, vs, BLOCK_SIDE, band, "band",
-        len(mips))
-    # mid zone (10-voxel steps -> 16-voxel octants)
-    lvl_mid = max(block_level - 1, 0)
-    mid = _octant_band_test(depth, atlas_off, T_cw, K, size, vs,
-                            size >> lvl_mid, 5.0 * band, "band", len(mips))
-    masks[lvl_mid] = masks[lvl_mid] | mid
-    # far zone (30-voxel steps -> 32-voxel octants): all remaining free space
-    lvl_far = max(block_level - 2, 0)
-    far = _octant_band_test(depth, atlas_off, T_cw, K, size, vs,
-                            size >> lvl_far, band, "front", len(mips))
-    masks[lvl_far] = masks[lvl_far] | far
+
+    def scatter_zone(level, travelled, extra_ok=None):
+        """Scatter samples at ``origin + travelled*dir`` (travelled
+        [..., n]) into the level's request mask."""
+        n = 1 << level
+        shift = m.max_depth - level
+        pts = origin[..., None, :] + direction[..., None, :] \
+            * travelled[..., None]
+        vox = jnp.floor(pts * inv_vs).astype(jnp.int32)
+        oc = vox >> shift
+        ok = ok0[..., None] & (vox >= 0).all(-1) & (vox < m.size).all(-1)
+        ok = ok & (travelled < dist[..., None])
+        if extra_ok is not None:
+            ok = ok & extra_ok
+        oc = jnp.clip(oc, 0, n - 1).reshape(-1, 3)
+        masks[level] = masks[level].at[
+            oc[:, 0], oc[:, 1], oc[:, 2]].max(ok.reshape(-1))
+
+    # zone 1: voxel steps through the band -> blocks
+    n1 = max(int(np.ceil(band * inv_vs)), 1)
+    t1 = (band / n1) * jnp.arange(n1, dtype=jnp.float32)
+    scatter_zone(block_level, jnp.broadcast_to(t1, d.shape + (n1,)))
+
+    # zone levels/steps from the reference's schedule functions (static:
+    # band and voxel size are trace-time constants, so evaluate eagerly)
+    from supereight_tpu.fields.ofusion import compute_stepsize, step_to_depth
+
+    with jax.ensure_compile_time_eval():
+        step_mid = float(compute_stepsize(band, band, vs))        # 10 * vs
+        lvl_mid = max(int(step_to_depth(step_mid, m.max_depth, vs)), 0)
+        step_far = float(compute_stepsize(1.6 * band, band, vs))  # 30 * vs
+        lvl_far = max(int(step_to_depth(step_far, m.max_depth, vs)), 0)
+
+    # zone 2: 10-voxel steps, band .. 1.5*band travelled
+    n2 = max(int(np.ceil(0.5 * band / step_mid)), 1)
+    t2 = band + step_mid * jnp.arange(n2, dtype=jnp.float32)
+    scatter_zone(lvl_mid, jnp.broadcast_to(t2, d.shape + (n2,)),
+                 extra_ok=jnp.broadcast_to(t2 < 1.5 * band, d.shape + (n2,)))
+
+    # zone 3: 30-voxel steps to the camera
+    t3_start = band + n2 * step_mid
+    max_travel = 1.42 * FAR_PLANE + band   # frustum-diagonal bound
+    n3 = max(int(np.ceil((max_travel - t3_start) / step_far)), 1)
+    t3 = t3_start + step_far * jnp.arange(n3, dtype=jnp.float32)
+    scatter_zone(lvl_far, jnp.broadcast_to(t3, d.shape + (n3,)))
+
     return octree.allocate_octant_masks(m, masks)
 
 

@@ -125,47 +125,48 @@ class _Bracket(NamedTuple):
     z1: jnp.ndarray       # start of first candidate bracket
     z2: jnp.ndarray       # start of second candidate bracket
     n: jnp.ndarray        # int32: number of brackets found (0..2)
-    prev_in: jnp.ndarray  # was previous mip sample inside
 
 
 def _coarse_sweep(mip, field, origin, dirs, near, far, n_planes, size_mip,
                   inv_vs_mip):
-    """Phase 1: bracket up to two inside-transitions on the pooled mip."""
+    """Phase 1: bracket up to two inside-transitions on the pooled mip.
+
+    All planes are sampled in ONE batched gather and the transitions are
+    found with dense reductions along the plane axis.  (A sequential
+    ``fori_loop`` over planes was measured at ~0.3 ms of loop overhead per
+    iteration on the TPU backend — ~12 ms for a 40-plane sweep — while a
+    batched 768k-element gather is ~1 ms; sweep loops are the enemy, not
+    gather volume.)
+    """
     dz = (far - near) / n_planes
     outside_val = 1.0 if field.invert_normals else -1.0
 
-    def body(j, st: _Bracket):
-        z = near + dz * j
-        pos = (origin + dirs * z) * inv_vs_mip
-        f, _ = _sample_volume(mip, pos, size_mip, outside_val)
-        inside = field.is_inside(f)
-        enter = inside & ~st.prev_in
-        take1 = enter & (st.n == 0)
-        take2 = enter & (st.n == 1)
-        z_lo = jnp.maximum(z - dz, near)
-        return _Bracket(
-            z1=jnp.where(take1, z_lo, st.z1),
-            z2=jnp.where(take2, z_lo, st.z2),
-            n=st.n + enter.astype(jnp.int32),
-            prev_in=inside,
-        )
+    z = near + dz * jnp.arange(n_planes, dtype=jnp.float32)   # [P]
+    pos = (origin + dirs[None] * z[:, None, None, None]) * inv_vs_mip
+    f, _ = _sample_volume(mip, pos, size_mip, outside_val)    # [P, h, w]
+    inside = field.is_inside(f)
+    prev_in = jnp.concatenate([jnp.zeros_like(inside[:1]), inside[:-1]])
+    enter = inside & ~prev_in                                 # [P, h, w]
 
-    shape = dirs.shape[:-1]
-    st = _Bracket(z1=jnp.zeros(shape), z2=jnp.zeros(shape),
-                  n=jnp.zeros(shape, jnp.int32),
-                  prev_in=jnp.zeros(shape, bool))
-    st = jax.lax.fori_loop(0, n_planes, body, st)
+    i1 = jnp.argmax(enter, axis=0)                            # first entry
+    has1 = jnp.any(enter, axis=0)
+    later = jnp.arange(n_planes, dtype=jnp.int32)[:, None, None] \
+        > i1[None]
+    enter2 = enter & later
+    i2 = jnp.argmax(enter2, axis=0)
+    has2 = jnp.any(enter2, axis=0)
+
+    z_of = lambda i: jnp.maximum(near + dz * (i - 1).astype(jnp.float32),
+                                 near)
+    st = _Bracket(z1=jnp.where(has1, z_of(i1), 0.0),
+                  z2=jnp.where(has2, z_of(i2), 0.0),
+                  n=has1.astype(jnp.int32) + has2.astype(jnp.int32))
     return st, dz
 
 
 class _Fine(NamedTuple):
     hit: jnp.ndarray
     z_hit: jnp.ndarray
-    f_lo: jnp.ndarray     # field value before the crossing
-    f_hi: jnp.ndarray     # field value after the crossing
-    prev_f: jnp.ndarray
-    prev_z: jnp.ndarray
-    prev_ok: jnp.ndarray
 
 
 def _fine_scan(m, dense, field, origin, dirs, z_start, span, n_samples,
@@ -173,52 +174,55 @@ def _fine_scan(m, dense, field, origin, dirs, z_start, span, n_samples,
     """Phase 2: fine first-crossing detection across a bracket.
 
     Reference semantics: only transitions between *valid* samples count
-    (weight==0 / unobserved never cross, `rendering_impl.hpp:49-58`), and
-    the crossing position is the linear solve between the two samples
-    (`rendering_impl.hpp:66`)."""
+    (weight==0 / unobserved never cross, `rendering_impl.hpp:49-58`) —
+    invalid samples do not reset the previous valid value — and the
+    crossing position is the linear solve between the two bracketing valid
+    samples (`rendering_impl.hpp:66`).
+
+    Batched: one gather over all (sample, ray) positions, forward-fill of
+    the last valid sample along the depth axis, then dense first-crossing
+    reductions (sequential fori_loops pay ~0.3 ms/iteration of loop
+    overhead on this backend; dense ops do not).
+    """
     inv_vs = m.inverse_voxel_size
     dz = span / n_samples
+    F = n_samples + 1
 
-    def sample(z):
-        """One NaN-encoded lookup: value + validity in a single gather.
-        Out-of-volume fills NaN so it is invalid like unobserved voxels
-        (an observed-looking OOB fill could synthesize a spurious crossing
-        at the volume boundary)."""
-        pos = (origin + dirs * z[..., None]) * inv_vs
-        f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan)
-        return f, ~jnp.isnan(f)
+    # one [F, h, w] gather: NaN marks invalid AND out-of-volume samples
+    z = z_start[None] + dz * jnp.arange(F, dtype=jnp.float32)[:, None, None]
+    pos = (origin + dirs[None] * z[..., None]) * inv_vs
+    f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan)   # [F, h, w]
+    ok = ~jnp.isnan(f)
 
-    def body(j, st: _Fine):
-        z = z_start + dz * (j + 1)
-        f, ok = sample(z)
-        crossing = (active & ~st.hit & ok & st.prev_ok
-                    & field.is_inside(f) & ~field.is_inside(st.prev_f))
-        return _Fine(
-            hit=st.hit | crossing,
-            z_hit=jnp.where(crossing, z, st.z_hit),
-            f_lo=jnp.where(crossing, st.prev_f, st.f_lo),
-            f_hi=jnp.where(crossing, f, st.f_hi),
-            prev_f=jnp.where(ok, f, st.prev_f),
-            prev_z=jnp.where(ok, z, st.prev_z),
-            # crossings compare against the last *valid* sample
-            # (`rendering_impl.hpp:49-63` skips invalid without resetting f_t)
-            prev_ok=st.prev_ok | ok,
-        )
+    # forward-fill of the last valid sample index along the depth axis
+    steps = jnp.arange(F, dtype=jnp.int32)[:, None, None]
+    last_idx = jax.lax.cummax(jnp.where(ok, steps, -1), axis=0)  # [F, h, w]
+    f_fill = jnp.take_along_axis(jnp.where(ok, f, 0.0),
+                                 jnp.maximum(last_idx, 0), axis=0)
+    prev_last = jnp.concatenate([jnp.full_like(last_idx[:1], -1),
+                                 last_idx[:-1]])
+    prev_fill = jnp.concatenate([jnp.zeros_like(f_fill[:1]),
+                                 f_fill[:-1]])
 
-    shape = dirs.shape[:-1]
-    f0, ok0 = sample(z_start)
-    st = _Fine(hit=jnp.zeros(shape, bool), z_hit=jnp.zeros(shape),
-               f_lo=jnp.ones(shape), f_hi=jnp.ones(shape),
-               prev_f=jnp.where(ok0, f0, 1.0 if field.invert_normals else 0.0),
-               prev_z=jnp.full(shape, z_start), prev_ok=ok0)
-    st = jax.lax.fori_loop(0, n_samples, body, st)
+    crossing = (ok & (prev_last >= 0) & field.is_inside(f)
+                & ~field.is_inside(prev_fill))
+    crossing = crossing & active[None]
+    hit = jnp.any(crossing, axis=0)
+    j_star = jnp.argmax(crossing, axis=0)                     # first crossing
 
-    # linear crossing solve (rendering_impl.hpp:66)
-    denom = st.f_lo - st.f_hi
+    take = lambda a: jnp.take_along_axis(a, j_star[None], axis=0)[0]
+    f_hi = take(f)
+    f_lo = take(prev_fill)
+    z_hi = take(z)
+    z_lo = z_start + dz * jnp.maximum(take(prev_last), 0).astype(jnp.float32)
+
+    # linear crossing solve between the two valid samples
+    # (rendering_impl.hpp:66), using their true spacing across invalid gaps
+    denom = f_lo - f_hi
     denom = jnp.where(jnp.abs(denom) < 1e-12, -1e-12, denom)
-    frac = (st.f_hi - field.surf_boundary) / denom
-    z_ref = st.z_hit + dz * frac   # backtrack toward f_lo
-    return st._replace(z_hit=jnp.where(st.hit, z_ref, st.z_hit))
+    frac = (f_hi - field.surf_boundary) / denom
+    z_ref = z_hi + (z_hi - z_lo) * frac      # backtrack toward f_lo
+    return _Fine(hit=hit, z_hit=jnp.where(hit, z_ref, 0.0))
 
 
 def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
@@ -274,7 +278,7 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         fo, fd, fbr = origin, dirs_h, br_h
         fbr = _Bracket(z1=jnp.maximum(fbr.z1 - dz1, near),
                        z2=jnp.maximum(fbr.z2 - dz1, near),
-                       n=fbr.n, prev_in=fbr.prev_in)
+                       n=fbr.n)
     else:
         fo, fd, fbr = origin, dirs, br
     f1 = _fine_scan(m, dense, field, fo, fd, fbr.z1, fine_span, n_fine,

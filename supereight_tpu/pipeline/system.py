@@ -321,12 +321,10 @@ def integration_stage(state: FrameState, k, frame, *, field,
 
     def integrate_fn(m):
         band = field.alloc_band()
-        mips = integration.depth_minmax_mips(float_depth)
         if field.multiscale_alloc:
-            m = integration.allocate_ofusion(m, float_depth, pose, K, band,
-                                             mips)
+            m = integration.allocate_ofusion(m, float_depth, pose, K, band)
         else:
-            m = integration.allocate_sdf(m, float_depth, pose, K, band, mips)
+            m = integration.allocate_sdf(m, float_depth, pose, K, band)
         return integration.integrate(m, field, float_depth, pose, K,
                                      timestamp=timestamp)
 
