@@ -27,6 +27,7 @@ def main():
     field_name = "ofusion" if "--field" in sys.argv and \
         sys.argv[sys.argv.index("--field") + 1] == "ofusion" else "sdf"
     use_gt = "--gt" in sys.argv
+    normals = "image" if "--image-normals" in sys.argv else "volume"
 
     import jax
     import jax.numpy as jnp
@@ -46,6 +47,7 @@ def main():
                         integration_rate=1,
                         block_capacity=12288,
                         mu=0.1 if field_name == "sdf" else 0.05,
+                        raycast_normals=normals,
                         field_type=field_name)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
@@ -54,7 +56,7 @@ def main():
                            iterations=slam.iterations, tracking_rate=1,
                            integration_rate=1, bilateral=False,
                            icp_threshold=cfg.icp_threshold,
-                           use_gt=use_gt, neg_y=False)
+                           use_gt=use_gt, neg_y=False, normals=normals)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -95,6 +97,7 @@ def main():
         "frames": NF,
         "field": field_name,
         "mode": "gt" if use_gt else "icp",
+        "normals": normals,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
         "ate_max_m": round(ate["max"], 4),
@@ -106,6 +109,8 @@ def main():
     print(json.dumps(rec))
     suffix = "" if field_name == "sdf" else "_ofusion"
     mode = "" if not use_gt else "_gt"
+    if normals == "image":
+        mode += "_imgn"
     path = os.path.join(here, f"bench_data/ate_icp{suffix}_256{mode}.json")
     with open(path, "w") as fh:
         json.dump(rec, fh, indent=1)

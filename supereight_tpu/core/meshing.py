@@ -165,14 +165,16 @@ def marching_cubes(m: VoxelMap, channel: str,
         w = other[0] if other else channel
         observed = lambda vals: vals[w] != 0.0
 
-    n_blocks = int(m.n_blocks)
+    # live slots are per-partition prefixes, not one global prefix
+    live = np.where(np.asarray(octree.slot_mask(m)))[0].astype(np.int32)
     tri_chunks = []
     fn = jax.jit(functools.partial(_block_chunk_triangles, inside_fn=inside,
                                    observed_fn=observed, channel=channel),
                  static_argnames=())
-    for s0 in range(0, max(n_blocks, 1), chunk):
-        idx = np.arange(s0, s0 + chunk, dtype=np.int32)
-        slots = jnp.asarray(np.where(idx < n_blocks, idx, -1))
+    for s0 in range(0, max(len(live), 1), chunk):
+        idx = live[s0:s0 + chunk]
+        idx = np.pad(idx, (0, chunk - len(idx)), constant_values=-1)
+        slots = jnp.asarray(idx)
         tris, valid = fn(m, slots=slots)
         tris = np.asarray(tris).reshape(-1, 3, 3)
         valid = np.asarray(valid).reshape(-1)

@@ -37,7 +37,7 @@ are jit/vmap/shard_map friendly.  Voxel brick layout matches the reference's
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -91,6 +91,17 @@ class VoxelMap(struct.PyTreeNode):
     node_values: List[Dict[str, jnp.ndarray]]   # per level 0..block_level-1
     node_alloc: List[jnp.ndarray]     # per level bool[2^l,2^l,2^l]
 
+    # --- multi-device ownership (parallel/sharding.py) ---
+    #: number of owner partitions of the slot space.  1 = single bump
+    #: allocator (default).  D > 1 splits the capacity into D contiguous
+    #: slot ranges; blocks are assigned to the partition owning their
+    #: x-slab of block coordinates (a Morton-range partition under the
+    #: x-major curve order), so a capacity-sharded table over a D-device
+    #: mesh allocates and fuses each block on its owner device only.
+    partitions: int = struct.field(pytree_node=False, default=1)
+    #: int32[partitions]: per-partition bump counters (sum == n_blocks)
+    part_counts: Optional[jnp.ndarray] = None
+
     # ------------------------------------------------------------------
     @property
     def blocks_per_edge(self) -> int:
@@ -116,11 +127,21 @@ class VoxelMap(struct.PyTreeNode):
 
 
 def init(size: int, dim: float, channels: Tuple[ChannelSpec, ...],
-         capacity: int | None = None) -> VoxelMap:
-    """Create an empty map (reference ``Octree::init``, `octree.hpp:428-438`)."""
+         capacity: int | None = None, partitions: int = 1) -> VoxelMap:
+    """Create an empty map (reference ``Octree::init``, `octree.hpp:428-438`).
+
+    ``partitions`` > 1 enables owner-partitioned slot assignment for
+    multi-device maps (see :class:`VoxelMap`); requires the block grid edge
+    and the capacity to be divisible by it.
+    """
     B = size // BLOCK_SIDE
     if capacity is None:
         capacity = min(B * B * B, max(4096, (B * B * B) // 4))
+    if partitions > 1:
+        if B % partitions or capacity % partitions:
+            raise ValueError(
+                f"partitions={partitions} must divide the block grid edge "
+                f"({B}) and the capacity ({capacity})")
     block_level = _log2i(size) - BLOCK_BITS
     node_values = []
     node_alloc = []
@@ -141,6 +162,8 @@ def init(size: int, dim: float, channels: Tuple[ChannelSpec, ...],
                 for c in channels},
         node_values=node_values,
         node_alloc=node_alloc,
+        partitions=partitions,
+        part_counts=jnp.zeros((partitions,), dtype=jnp.int32),
     )
 
 
@@ -258,24 +281,39 @@ def allocate_blocks(m: VoxelMap, block_coords, valid) -> VoxelMap:
 
 def allocate_block_mask(m: VoxelMap, wanted) -> VoxelMap:
     """Allocate every block where ``wanted`` bool[B,B,B] is set (and mark
-    touched blocks active).  The dense-mask core of ``Octree::allocate``."""
-    B = m.blocks_per_edge
-    allocated = m.block_index >= 0
-    new = (wanted & ~allocated).reshape(-1)
+    touched blocks active).  The dense-mask core of ``Octree::allocate``.
 
-    # Prefix-sum slot assignment (replaces the atomic fetch_add of
-    # `memory_pool.hpp:71`).
-    order = jnp.cumsum(new.astype(jnp.int32)) - 1
-    slots = m.n_blocks + order
-    total_new = order[-1] + 1
-    fits = new & (slots < m.capacity)
+    With ``m.partitions == D > 1`` the slot space is split into D contiguous
+    ranges and each x-slab of the block grid allocates into its own range
+    with an independent prefix-sum counter — the multi-device layout where
+    each mesh device owns one slot range and the blocks of one spatial slab
+    (no cross-device slot contention; the reference's atomic fetch_add
+    becomes D independent prefix sums).
+    """
+    B = m.blocks_per_edge
+    D = m.partitions
+    allocated = m.block_index >= 0
+    # group the flat order by owner partition (x-slab); for D == 1 this is
+    # the plain flat order
+    new = (wanted & ~allocated).reshape(D, -1)
+    per_cap = m.capacity // D
+
+    # Prefix-sum slot assignment per partition (replaces the atomic
+    # fetch_add of `memory_pool.hpp:71`).
+    order = jnp.cumsum(new.astype(jnp.int32), axis=1) - 1
+    counts = m.part_counts if m.part_counts is not None \
+        else m.n_blocks[None]
+    slots_local = counts[:, None] + order
+    total_new = order[:, -1] + 1
+    fits = new & (slots_local < per_cap)
+    slots = slots_local + per_cap * jnp.arange(D, dtype=jnp.int32)[:, None]
 
     flat_lin = jnp.arange(B * B * B, dtype=jnp.int32)
     gx, gy, gz = jnp.unravel_index(flat_lin, (B, B, B))
 
     # New-and-fitting cells get their fresh slot; everything else keeps its
     # old entry (-1 for new blocks that did not fit: they stay unallocated).
-    flat_old = m.block_index.reshape(-1)
+    flat_old = m.block_index.reshape(D, -1)
     flat_new = jnp.where(fits, slots, flat_old)
     block_index = flat_new.reshape((B, B, B))
 
@@ -283,16 +321,19 @@ def allocate_block_mask(m: VoxelMap, wanted) -> VoxelMap:
     new_keys = morton.block_key(gx.astype(jnp.uint32),
                                 gy.astype(jnp.uint32),
                                 gz.astype(jnp.uint32))
-    keys = m.keys.at[tgt].set(new_keys, mode="drop")
+    keys = m.keys.at[tgt.reshape(-1)].set(new_keys, mode="drop")
 
     # Mark every *touched* block (newly allocated or pre-existing) active.
-    touched_slot = jnp.where(wanted.reshape(-1) & (flat_new >= 0),
-                             flat_new, m.capacity)
+    touched_slot = jnp.where(wanted.reshape(D, -1) & (flat_new >= 0),
+                             flat_new, m.capacity).reshape(-1)
     active = m.active.at[touched_slot].set(True, mode="drop")
 
-    n_new = jnp.minimum(m.n_blocks + total_new, m.capacity)
-    overflow = m.overflow + jnp.maximum(m.n_blocks + total_new - m.capacity, 0)
-    return m.replace(block_index=block_index, keys=keys, n_blocks=n_new,
+    new_counts = jnp.minimum(counts + total_new, per_cap)
+    overflow = m.overflow + jnp.sum(
+        jnp.maximum(counts + total_new - per_cap, 0))
+    return m.replace(block_index=block_index, keys=keys,
+                     n_blocks=jnp.sum(new_counts),
+                     part_counts=new_counts,
                      active=active, overflow=overflow)
 
 
@@ -440,8 +481,14 @@ def block_coords_table(m: VoxelMap):
 
 
 def slot_mask(m: VoxelMap):
-    """bool[capacity]: which table slots hold live blocks."""
-    return jnp.arange(m.capacity, dtype=jnp.int32) < m.n_blocks
+    """bool[capacity]: which table slots hold live blocks.  Live slots are a
+    prefix of each partition's slot range (one range == the whole table for
+    the default partitions == 1)."""
+    if m.partitions == 1:
+        return jnp.arange(m.capacity, dtype=jnp.int32) < m.n_blocks
+    per_cap = m.capacity // m.partitions
+    idx = jnp.arange(m.capacity, dtype=jnp.int32)
+    return (idx % per_cap) < m.part_counts[idx // per_cap]
 
 
 def allocate_octant_masks(m: VoxelMap, masks: List[jnp.ndarray]) -> VoxelMap:

@@ -26,6 +26,7 @@ def save_map(path: str, m: VoxelMap):
         "n_blocks": np.asarray(m.n_blocks),
         "active": np.asarray(m.active),
         "overflow": np.asarray(m.overflow),
+        "part_counts": np.asarray(m.part_counts),
     }
     for name, arr in m.voxels.items():
         arrays[f"voxel:{name}"] = np.asarray(arr)
@@ -34,7 +35,7 @@ def save_map(path: str, m: VoxelMap):
         for name, arr in vals.items():
             arrays[f"nodeval:{level}:{name}"] = np.asarray(arr)
     meta = dict(version=_FORMAT_VERSION, size=m.size, dim=m.dim,
-                capacity=m.capacity,
+                capacity=m.capacity, partitions=m.partitions,
                 channels=[(c.name, np.dtype(c.dtype).name, c.init, c.empty)
                           for c in m.channels])
     arrays["meta"] = np.frombuffer(repr(meta).encode(), dtype=np.uint8)
@@ -51,7 +52,8 @@ def load_map(path: str) -> VoxelMap:
         ChannelSpec(name=n, dtype=jnp.dtype(d), init=i, empty=e)
         for n, d, i, e in meta["channels"])
     m = octree.init(meta["size"], meta["dim"], channels,
-                    capacity=meta["capacity"])
+                    capacity=meta["capacity"],
+                    partitions=meta.get("partitions", 1))
     node_values = []
     node_alloc = []
     for level in range(m.block_level + 1):
@@ -62,6 +64,8 @@ def load_map(path: str) -> VoxelMap:
         block_index=jnp.asarray(z["block_index"]),
         keys=jnp.asarray(z["keys"]),
         n_blocks=jnp.asarray(z["n_blocks"]),
+        part_counts=jnp.asarray(z["part_counts"]) if "part_counts" in z
+        else jnp.asarray(z["n_blocks"]).reshape(1),
         active=jnp.asarray(z["active"]),
         overflow=jnp.asarray(z["overflow"]),
         voxels={c.name: jnp.asarray(z[f"voxel:{c.name}"]) for c in channels},

@@ -51,6 +51,7 @@ def map_sharding(mesh: Mesh):
             block_index=jax.device_put(m.block_index, repl),
             keys=jax.device_put(m.keys, shard_cap),
             n_blocks=jax.device_put(m.n_blocks, repl),
+            part_counts=jax.device_put(m.part_counts, repl),
             active=jax.device_put(m.active, shard_cap),
             overflow=jax.device_put(m.overflow, repl),
             voxels={k: jax.device_put(v, shard_cap2)

@@ -88,13 +88,14 @@ def _alloc_decimation(m: VoxelMap, depth_shape) -> int:
     return 2 if foot_far >= 4.0 else 1
 
 
-def _pixel_rays(depth, pose, K, decim: int):
+def _pixel_rays(depth, pose, K, decim: int, row0=None):
     """Per-(decimated-)pixel world vertex at the measured depth + unit
     direction toward the camera (`kfusion/alloc_impl.hpp:83-87`).
 
     The strided pixel set always includes the last row/column: blocks seen
     only by border rays would otherwise be missed (no interior neighbour
-    shares them)."""
+    shares them).  ``row0`` shifts the pixel y coordinates when ``depth``
+    is a horizontal strip of a larger frame."""
     H, W = depth.shape
     iy = jnp.minimum(jnp.arange((H + decim - 1) // decim + (1 if decim > 1
                      else 0), dtype=jnp.int32) * decim, H - 1)
@@ -103,6 +104,8 @@ def _pixel_rays(depth, pose, K, decim: int):
     d = depth[iy][:, ix]
     x = (ix.astype(jnp.float32) + 0.5)[None, :]
     y = (iy.astype(jnp.float32) + 0.5)[:, None]
+    if row0 is not None:
+        y = y + row0.astype(jnp.float32)
     invK = jnp.linalg.inv(K)
     kpose = pose @ invK
     hom = jnp.stack([
@@ -136,18 +139,39 @@ def allocate_sdf(m: VoxelMap, depth, pose, K, band: float,
     """
     del mips
     decim = _alloc_decimation(m, depth.shape)
-    d, vertex, direction, _, _ = _pixel_rays(depth, pose, K, decim)
-    n_steps = max(int(np.ceil(band * m.inverse_voxel_size)), 1)
+    wanted = sdf_wanted_mask(depth, pose, K, size=m.size, dim=m.dim,
+                             band=band, decim=decim)
+    return octree.allocate_block_mask(m, wanted)
+
+
+def sdf_wanted_mask(depth, pose, K, *, size: int, dim: float, band: float,
+                    decim: int = 1, row0=None):
+    """Dense bool[B,B,B] block-request mask from the per-pixel band march
+    (the mask-producing core of :func:`allocate_sdf`; separated so the
+    multi-device allocator can compute per-image-strip partial masks and
+    OR-combine them with one collective, `parallel/allocation_dist.py`).
+
+    ``row0`` offsets the pixel y coordinates when ``depth`` is a strip of a
+    larger image (its x/y grid must index into the full camera frame).
+    """
+    inv_vs = size / dim
+    d, vertex, direction, _, _ = _pixel_rays(depth, pose, K, decim,
+                                             row0=row0)
+    n_steps = max(int(np.ceil(band * inv_vs)), 1)
     # sample offsets from -band/2 toward the camera, voxel spacing
     # (`alloc_impl.hpp:88-90`: origin = vertex - band/2 * dir, step = band/n)
     t = -0.5 * band + (band / n_steps) * jnp.arange(n_steps,
                                                     dtype=jnp.float32)
     pts = vertex[..., None, :] + direction[..., None, :] * t[:, None]
-    vox = jnp.floor(pts.reshape(-1, 3) * m.inverse_voxel_size).astype(
-        jnp.int32)
+    vox = jnp.floor(pts.reshape(-1, 3) * inv_vs).astype(jnp.int32)
     valid = jnp.broadcast_to((d > 0)[..., None],
                              d.shape + (n_steps,)).reshape(-1)
-    return octree.allocate_blocks(m, vox >> octree.BLOCK_BITS, valid)
+    bc = vox >> octree.BLOCK_BITS
+    B = size // BLOCK_SIDE
+    ok = valid & (bc >= 0).all(axis=1) & (bc < B).all(axis=1)
+    bcc = jnp.clip(bc, 0, B - 1)
+    return jnp.zeros((B, B, B), bool).at[
+        bcc[:, 0], bcc[:, 1], bcc[:, 2]].max(ok)
 
 
 def allocate_ofusion(m: VoxelMap, depth, pose, K, band: float,

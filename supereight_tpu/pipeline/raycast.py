@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from supereight_tpu.core import octree
 from supereight_tpu.core.octree import BLOCK_SIDE, VoxelMap
@@ -121,47 +122,59 @@ def _sample_volume(vol, pos_vox, size, fill):
     return jnp.where(inb, val, jnp.float32(fill)), inb
 
 
-class _Bracket(NamedTuple):
-    z1: jnp.ndarray       # start of first candidate bracket
-    z2: jnp.ndarray       # start of second candidate bracket
-    n: jnp.ndarray        # int32: number of brackets found (0..2)
+def _splat_bounds(m: VoxelMap, field, view, H: int, W: int,
+                  near: float, far: float):
+    """Phase 1: per-ray start depth by splatting inside-containing blocks.
 
+    Replaces the ESVO ray_iterator's coarse skip (`ray_iterator.hpp`) AND
+    round-1's pooled-mip plane sweep.  Rationale (measured on this backend,
+    bench_data/gather_scan_probe.json): every random-gathered element costs
+    ~8-14 ns regardless of table size, so a 40-plane sweep over 19k rays
+    (~770k gathers) costs ~10 ms; projecting the ~12k block slots and
+    scatter-min-ing their camera depth into a small image grid costs ~0.2 ms
+    for the same information.
 
-def _coarse_sweep(mip, field, origin, dirs, near, far, n_planes, size_mip,
-                  inv_vs_mip):
-    """Phase 1: bracket up to two inside-transitions on the pooled mip.
-
-    All planes are sampled in ONE batched gather and the transitions are
-    found with dense reductions along the plane axis.  (A sequential
-    ``fori_loop`` over planes was measured at ~0.3 ms of loop overhead per
-    iteration on the TPU backend — ~12 ms for a 40-plane sweep — while a
-    batched 768k-element gather is ~1 ms; sweep loops are the enemy, not
-    gather volume.)
+    Only blocks whose brick contains an *inside* voxel splat (a dense
+    [capacity, 512] reduction), so stale free-space blocks do not pull the
+    scan start forward.  A min-pool dilation covers each block's pixel
+    footprint.  Returns (t_start [gh, gw] grid, grid cell size).
     """
-    dz = (far - near) / n_planes
-    outside_val = 1.0 if field.invert_normals else -1.0
+    # grid cell: largest of 8/4/2/1 dividing both image dims
+    for g in (8, 4, 2, 1):
+        if H % g == 0 and W % g == 0:
+            break
+    gh, gw = H // g, W // g
 
-    z = near + dz * jnp.arange(n_planes, dtype=jnp.float32)   # [P]
-    pos = (origin + dirs[None] * z[:, None, None, None]) * inv_vs_mip
-    f, _ = _sample_volume(mip, pos, size_mip, outside_val)    # [P, h, w]
-    inside = field.is_inside(f)
-    prev_in = jnp.concatenate([jnp.zeros_like(inside[:1]), inside[:-1]])
-    enter = inside & ~prev_in                                 # [P, h, w]
+    inv_view = jnp.linalg.inv(view)          # = K @ inv(pose): world -> pix
+    vs = m.voxel_size
+    bc = octree.block_coords_table(m).astype(jnp.float32)
+    centers = (bc + 0.5) * (BLOCK_SIDE * vs)
+    hom = centers @ inv_view[:3, :3].T + inv_view[:3, 3]
+    z = hom[:, 2]
+    zsafe = jnp.where(z == 0, 1.0, z)
+    px = hom[:, 0] / zsafe
+    py = hom[:, 1] / zsafe
 
-    i1 = jnp.argmax(enter, axis=0)                            # first entry
-    has1 = jnp.any(enter, axis=0)
-    later = jnp.arange(n_planes, dtype=jnp.int32)[:, None, None] \
-        > i1[None]
-    enter2 = enter & later
-    i2 = jnp.argmax(enter2, axis=0)
-    has2 = jnp.any(enter2, axis=0)
+    raw = m.voxels[field.select_channel].astype(jnp.float32)
+    inside_any = jnp.any(field.is_inside(raw), axis=1)
+    diag = 1.7320508 * BLOCK_SIDE * vs
+    # pixel footprint margin: blocks slightly off-screen still cover border
+    # pixels; the min-pool below covers up to 2 cells of spread
+    marg = 2.0 * g
+    ok = (octree.slot_mask(m) & inside_any & (z > 1e-3)
+          & (px >= -marg) & (px <= W - 1 + marg)
+          & (py >= -marg) & (py <= H - 1 + marg))
 
-    z_of = lambda i: jnp.maximum(near + dz * (i - 1).astype(jnp.float32),
-                                 near)
-    st = _Bracket(z1=jnp.where(has1, z_of(i1), 0.0),
-                  z2=jnp.where(has2, z_of(i2), 0.0),
-                  n=has1.astype(jnp.int32) + has2.astype(jnp.int32))
-    return st, dz
+    z_lo = jnp.maximum(z - 0.5 * diag, near)
+    cx = jnp.clip((px / g).astype(jnp.int32), 0, gw - 1)
+    cy = jnp.clip((py / g).astype(jnp.int32), 0, gh - 1)
+    tgt = jnp.where(ok, cy * gw + cx, gh * gw)
+    tmin = jnp.full((gh * gw,), jnp.inf).at[tgt].min(z_lo, mode="drop")
+    tmin = tmin.reshape(gh, gw)
+    # 5x5 min-pool dilation: a block's footprint spans multiple cells
+    tmin = -jax.lax.reduce_window(-tmin, -jnp.inf, jax.lax.max,
+                                  (5, 5), (1, 1), "SAME")
+    return tmin, g
 
 
 class _Fine(NamedTuple):
@@ -226,80 +239,75 @@ def _fine_scan(m, dense, field, origin, dirs, z_start, span, n_samples,
 
 
 def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
-            near: float, far: float, dense=None) -> RaycastResult:
-    """Full raycastKernel (`rendering.cpp:50-90`): vertex + normal maps."""
-    origin, dirs = ray_directions(view, H, W)
+            near: float, far: float, dense=None, *,
+            normals: str = "volume",
+            second_window: bool = True,
+            span_factor: float = 1.6) -> RaycastResult:
+    """Full raycastKernel (`rendering.cpp:50-90`): vertex + normal maps.
 
+    Pipeline: block-splat start depths (phase 1, ~12k scattered elements)
+    -> fine first-crossing scan over a short window at half ray resolution
+    (phase 2) -> second window for rays whose first window grazed without a
+    valid crossing -> full-res re-solve -> normals.
+
+    ``normals``: "volume" = 6-tap central difference in the field (the
+    reference's volume.grad); "image" = cross product of vertex-map
+    central differences (KinectFusion-style, zero volume gathers).
+    """
+    origin, dirs = ray_directions(view, H, W)
     if dense is None:
         dense = pack_view(m, field)
-    MIP = 4
-    mip = build_mip(m, field, dense, factor=MIP)
-    size_mip = m.size // MIP
-    inv_vs_mip = m.inverse_voxel_size / MIP
 
-    # coarse plane spacing: must not skip the 'inside' region — for a
-    # watertight-from-one-side wall that is the negative truncation band
-    # (~mu for SDF, ~2 voxels for occupancy), widened by up to one mip
-    # texel per side by the pooling.
+    tgrid, g = _splat_bounds(m, field, view, H, W, near, far)
+
     vs = m.voxel_size
     thickness = field.mu if field.invert_normals else 2.0 * vs
-    span = 0.66 * (thickness + MIP * vs)
-    n_planes = max(8, int((far - near) / span) + 1)
-    # coarse bracketing at half image resolution: brackets vary smoothly
-    # across rays and the pooled mip already smears the band by +-MIP
-    # voxels, so a 2x2 ray block shares its brackets (4x fewer samples)
-    # the 2x2-shared fine result is valid when neighbouring rays' surface-z
-    # spread (~ z * tan(incidence) / fx) stays within the refine window —
-    # i.e. at real camera pixel densities; low-res/wide-angle runs keep the
-    # full-res fine scan
+    diag = 1.7320508 * BLOCK_SIDE * vs
+    # window: covers the splatted block's extent plus the band; step <= half
+    # the band thickness so no crossing between valid samples is skipped
+    fine_step = 0.5 * thickness
+    fine_span = span_factor * diag + 2.0 * thickness
+    n_fine = int(np.clip(np.ceil(fine_span / fine_step) + 1, 8, 48))
+    fine_span = n_fine * fine_step
+
+    # fine scan at half ray resolution when the image is dense enough
+    # (a full-res re-solve below recovers per-pixel accuracy); the start
+    # depth comes from the ray's splat-grid cell
     half_res = (H % 2 == 0) and (W % 2 == 0) and W >= 160
     if half_res:
-        # brackets + fine scan at HALF res (quarter-res bracketing was
-        # tried and measurably breaks tracking: ATE 2.3 -> 7.7 cm)
         dirs_h = 0.25 * (dirs[0::2, 0::2] + dirs[1::2, 0::2]
                          + dirs[0::2, 1::2] + dirs[1::2, 1::2])
-        br_h, dz1 = _coarse_sweep(mip, field, origin, dirs_h, near, far,
-                                  n_planes, size_mip, inv_vs_mip)
-        extra = 2.0 * dz1
+        rep = g // 2
+        fd = dirs_h
     else:
-        dirs_h, br_h = None, None
-        br, dz1 = _coarse_sweep(mip, field, origin, dirs, near, far,
-                                n_planes, size_mip, inv_vs_mip)
-        extra = 0.0
+        rep = g
+        fd = dirs
+    t0 = jnp.repeat(jnp.repeat(tgrid, rep, 0), rep, 1)[:fd.shape[0],
+                                                       :fd.shape[1]]
+    active = jnp.isfinite(t0)
+    z_start = jnp.clip(jnp.where(active, t0, near), near, far)
 
-    # fine sampling: step <= half the band thickness detects every crossing;
-    # the linear solve recovers sub-step accuracy (band-linear field).
-    # The scan runs on the HALF-RES rays (the sweep cost is per-sample);
-    # a full-res refine pass below re-validates every pixel's crossing.
-    fine_span = 2.2 * dz1 + extra
-    fine_step = 0.5 * thickness
-    n_fine = max(8, int(fine_span / fine_step) + 1)
-    if half_res:
-        fo, fd, fbr = origin, dirs_h, br_h
-        fbr = _Bracket(z1=jnp.maximum(fbr.z1 - dz1, near),
-                       z2=jnp.maximum(fbr.z2 - dz1, near),
-                       n=fbr.n)
+    f1 = _fine_scan(m, dense, field, origin, fd, z_start, fine_span,
+                    n_fine, active)
+
+    # second window: surfaces deeper than the nearest splatted block (e.g.
+    # a wall behind a grazed silhouette block); rare -> cond-skipped
+    if second_window:
+        need2 = active & ~f1.hit & (z_start + fine_span < far)
+
+        def scan2(_):
+            f2 = _fine_scan(m, dense, field, origin, fd,
+                            z_start + fine_span, fine_span, n_fine, need2)
+            return f2.hit, f2.z_hit
+
+        def skip2(_):
+            return jnp.zeros_like(f1.hit), jnp.zeros_like(f1.z_hit)
+
+        hit2, z2 = jax.lax.cond(jnp.any(need2), scan2, skip2, None)
+        hit = f1.hit | hit2
+        z_hit = jnp.where(f1.hit, f1.z_hit, z2)
     else:
-        fo, fd, fbr = origin, dirs, br
-    f1 = _fine_scan(m, dense, field, fo, fd, fbr.z1, fine_span, n_fine,
-                    fbr.n >= 1)
-
-    # second-chance bracket (rays that grazed the first shell without a
-    # valid crossing); usually nobody needs it -> skip the whole scan
-    need2 = (fbr.n >= 2) & ~f1.hit
-
-    def scan2(_):
-        f2 = _fine_scan(m, dense, field, fo, fd, fbr.z2, fine_span,
-                        n_fine, need2)
-        return f2.hit, f2.z_hit
-
-    def skip2(_):
-        return jnp.zeros_like(f1.hit), jnp.zeros_like(f1.z_hit)
-
-    hit2, z2 = jax.lax.cond(jnp.any(need2), scan2, skip2, None)
-
-    hit = f1.hit | hit2
-    z_hit = jnp.where(f1.hit, f1.z_hit, z2)
+        hit, z_hit = f1.hit, f1.z_hit
 
     if half_res:
         up = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
@@ -314,22 +322,45 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     ray_norm = jnp.linalg.norm(dirs, axis=-1)
     t_hit = jnp.where(hit, z_hit * ray_norm, 0.0)
 
-    # normals: 6-tap central difference at the hit (the reference's
-    # trilinear-blended grad `octree.hpp:566-737` reduces to this at voxel
-    # resolution; full interp-grad remains available via octree.grad).
-    # Full-res on purpose: 2x2-shared normals measurably degrade the ICP
-    # point-to-plane solve (ATE 2.3 -> 4.0 cm).
-    g = _grad6(m, dense, field, vertex)
-    if field.invert_normals:
-        g = -g
-    gn = jnp.linalg.norm(g, axis=-1, keepdims=True)
-    normal = g / jnp.maximum(gn, 1e-12)
-    bad = ~hit | (gn[..., 0] == 0)
+    if normals == "image":
+        normal, bad = _image_normals(vertex, hit, dirs)
+    else:
+        # normals: 6-tap central difference at the hit (the reference's
+        # trilinear-blended grad `octree.hpp:566-737` reduces to this at
+        # voxel resolution; full interp-grad remains via octree.grad).
+        # Full-res on purpose: 2x2-shared normals measurably degrade the
+        # ICP point-to-plane solve (ATE 2.3 -> 4.0 cm).
+        g_ = _grad6(m, dense, field, vertex)
+        if field.invert_normals:
+            g_ = -g_
+        gn = jnp.linalg.norm(g_, axis=-1, keepdims=True)
+        normal = g_ / jnp.maximum(gn, 1e-12)
+        bad = ~hit | (gn[..., 0] == 0)
     vertex = jnp.where(hit[..., None], vertex, 0.0)
     invalid = jnp.concatenate([jnp.full_like(normal[..., :1], INVALID),
                                jnp.zeros_like(normal[..., 1:])], axis=-1)
     normal = jnp.where(bad[..., None], invalid, normal)
     return RaycastResult(vertex=vertex, normal=normal, t_hit=t_hit)
+
+
+def _image_normals(vertex, hit, dirs):
+    """Normals from vertex-map central differences (zero volume gathers;
+    the classic KinectFusion vertex2normal on the raycast output).  Oriented
+    toward the camera like the SDF's negated gradient."""
+    pad = lambda a: jnp.pad(a, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    v = pad(vertex)
+    hp = jnp.pad(hit, 1, mode="edge")
+    dx = v[1:-1, 2:] - v[1:-1, :-2]
+    dy = v[2:, 1:-1] - v[:-2, 1:-1]
+    n = jnp.cross(dy, dx)
+    # neighbours must all be hits for a meaningful difference
+    okn = (hp[1:-1, 2:] & hp[1:-1, :-2] & hp[2:, 1:-1] & hp[:-2, 1:-1])
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.maximum(nn, 1e-12)
+    flip = jnp.sum(n * dirs, axis=-1, keepdims=True) > 0
+    n = jnp.where(flip, -n, n)
+    bad = ~hit | ~okn | (nn[..., 0] < 1e-12)
+    return n, bad
 
 
 def _refine(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta):

@@ -75,7 +75,8 @@ class DenseSLAMSystem:
         capacity = config.block_capacity
         self.state = init_state(self.size, self.dim, self.field,
                                 self.H, self.W, self.init_pose,
-                                capacity=capacity)
+                                capacity=capacity,
+                                partitions=config.map_partitions)
 
         self._step = jax.jit(
             functools.partial(
@@ -86,6 +87,7 @@ class DenseSLAMSystem:
                 integration_rate=config.integration_rate,
                 bilateral=config.bilateral_filter,
                 icp_threshold=config.icp_threshold,
+                normals=config.raycast_normals,
             ),
             static_argnames=("use_gt", "neg_y"))
         # (no donation here: callers may hold references to earlier states;
@@ -104,7 +106,8 @@ class DenseSLAMSystem:
                 integration_stage, field=self.field,
                 integration_rate=config.integration_rate)),
             "raycasting": jax.jit(functools.partial(
-                raycasting_stage, field=self.field)),
+                raycasting_stage, field=self.field,
+                normals=config.raycast_normals)),
         }
 
     # ---- reference-parity accessors ----
@@ -251,8 +254,10 @@ class DenseSLAMSystem:
 
 
 def init_state(size: int, dim: float, field, H: int, W: int,
-               init_pose, capacity: Optional[int] = None) -> FrameState:
-    m = octree.init(size, dim, field.channels, capacity=capacity)
+               init_pose, capacity: Optional[int] = None,
+               partitions: int = 1) -> FrameState:
+    m = octree.init(size, dim, field.channels, capacity=capacity,
+                    partitions=partitions)
     z3 = jnp.zeros((H, W, 3), jnp.float32)
     invalid_n = z3.at[..., 0].set(INVALID)
     return FrameState(
@@ -332,7 +337,8 @@ def integration_stage(state: FrameState, k, frame, *, field,
     return state.replace(map=m, integrated=do_integrate)
 
 
-def raycasting_stage(state: FrameState, k, frame, *, field) -> FrameState:
+def raycasting_stage(state: FrameState, k, frame, *, field,
+                     normals: str = "volume") -> FrameState:
     """raycasting() (`DenseSLAMSystem.cpp:191-204`): refresh the reference
     model maps from the current pose (only after the bootstrap frames)."""
     H, W = state.float_depth.shape
@@ -341,7 +347,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field) -> FrameState:
     def raycast_fn(args):
         m, pose = args
         view = pose @ camera.inverse_camera_matrix(k)
-        rc = raycast.raycast(m, field, view, H, W, NEAR_PLANE, FAR_PLANE)
+        rc = raycast.raycast(m, field, view, H, W, NEAR_PLANE, FAR_PLANE,
+                             normals=normals)
         return rc.vertex, rc.normal, pose
 
     def skip_fn(args):
@@ -356,7 +363,7 @@ def raycasting_stage(state: FrameState, k, frame, *, field) -> FrameState:
 def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   *, field, iterations, tracking_rate, integration_rate,
                   bilateral, icp_threshold, use_gt: bool,
-                  neg_y: bool) -> FrameState:
+                  neg_y: bool, normals: str = "volume") -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
@@ -366,4 +373,4 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                            neg_y=neg_y)
     state = integration_stage(state, k, frame, field=field,
                               integration_rate=integration_rate)
-    return raycasting_stage(state, k, frame, field=field)
+    return raycasting_stage(state, k, frame, field=field, normals=normals)
