@@ -133,6 +133,43 @@ def main():
     print(f"# {n_timed} frames in {dt:.2f}s; final pose err {final_err:.3f} m;"
           f" blocks {int(state.map.n_blocks)}", file=sys.stderr)
 
+    # optional profiler trace (--profile): per-kernel timeline for the
+    # TICK/TOCK parity story (`se_shared/timings.h`); viewable with
+    # tensorboard or xprof
+    if "--profile" in sys.argv:
+        import jax.profiler
+        trace_dir = os.path.join(here, "bench_data/profile")
+        try:
+            with jax.profiler.trace(trace_dir):
+                state = run_chunk(state, depths_dev[:CHUNK],
+                                  jnp.asarray(0, jnp.int32))
+                state.pose.block_until_ready()
+            print(f"# profiler trace -> {trace_dir}", file=sys.stderr)
+        except Exception as e:  # axon tunnel may not support device traces
+            print(f"# profiler trace unavailable: {e}", file=sys.stderr)
+
+    # sidecar: stage breakdown (measured by scripts/ablation_bench.py's
+    # stage-skipping wall-clock diffs — the only trustworthy per-stage
+    # timing on this backend) next to the headline number
+    sidecar = {"fused_fps": round(fps, 2),
+               "blocks": int(state.map.n_blocks)}
+    abl_path = os.path.join(here, "bench_data/ablation.json")
+    if os.path.exists(abl_path):
+        with open(abl_path) as fh:
+            abl = json.load(fh)
+        if "full" in abl and "gt_track" in abl:
+            sidecar["stage_ms"] = {
+                "tracking_icp": round(abl["full"] - abl["gt_track"], 2),
+                "integration_alloc": round(
+                    abl.get("gt_only_integrate", 0.0), 2),
+                "raycasting": round(abl["gt_track"]
+                                    - abl.get("gt_only_integrate", 0.0), 2),
+                "frame_total": abl["full"],
+            }
+    with open(os.path.join(here, "bench_data/bench_sidecar.json"),
+              "w") as fh:
+        json.dump(sidecar, fh, indent=1)
+
     signal.alarm(0)
     print(json.dumps({
         "metric": "fused_frames_per_s_per_chip_256",

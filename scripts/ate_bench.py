@@ -27,7 +27,12 @@ def main():
     field_name = "ofusion" if "--field" in sys.argv and \
         sys.argv[sys.argv.index("--field") + 1] == "ofusion" else "sdf"
     use_gt = "--gt" in sys.argv
-    normals = "image" if "--image-normals" in sys.argv else "volume"
+    normals = "volume"
+    if "--image-normals" in sys.argv:
+        normals = "image"
+    if "--normals" in sys.argv:
+        normals = sys.argv[sys.argv.index("--normals") + 1]
+    second_window = "--no-fine2" not in sys.argv
 
     import jax
     import jax.numpy as jnp
@@ -48,6 +53,7 @@ def main():
                         block_capacity=12288,
                         mu=0.1 if field_name == "sdf" else 0.05,
                         raycast_normals=normals,
+                        raycast_second_window=second_window,
                         field_type=field_name)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
@@ -56,7 +62,8 @@ def main():
                            iterations=slam.iterations, tracking_rate=1,
                            integration_rate=1, bilateral=False,
                            icp_threshold=cfg.icp_threshold,
-                           use_gt=use_gt, neg_y=False, normals=normals)
+                           use_gt=use_gt, neg_y=False, normals=normals,
+                           second_window=second_window)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -98,6 +105,7 @@ def main():
         "field": field_name,
         "mode": "gt" if use_gt else "icp",
         "normals": normals,
+        "second_window": second_window,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
         "ate_max_m": round(ate["max"], 4),
@@ -111,6 +119,8 @@ def main():
     mode = "" if not use_gt else "_gt"
     if normals == "image":
         mode += "_imgn"
+    if not second_window:
+        mode += "_nf2"
     path = os.path.join(here, f"bench_data/ate_icp{suffix}_256{mode}.json")
     with open(path, "w") as fh:
         json.dump(rec, fh, indent=1)

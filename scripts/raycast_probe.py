@@ -104,8 +104,8 @@ def main():
         jnp.isfinite(rc._splat_bounds(m, field, mkview(p), H, W, 0.4,
                                       4.0)[0]), 1.0, 0.0)))
 
-    tgrid, g = jax.jit(lambda: rc._splat_bounds(m, field, mkview(pose0),
-                                                H, W, 0.4, 4.0))()
+    tgrid, tmax_g, g = jax.jit(lambda: rc._splat_bounds(
+        m, field, mkview(pose0), H, W, 0.4, 4.0))()
     jax.block_until_ready(tgrid)
 
     def fine_only(p):

@@ -26,48 +26,96 @@ import numpy as np
 from supereight_tpu.apps import benchmark, evaluate
 from supereight_tpu.io import groundtruth, synthetic
 
-#: dataset registry (reference `se_apps/scripts/datasets.py`)
+#: dataset registry (reference `se_apps/scripts/datasets.py`).  Paths are
+#: relative to $SE_DATASETS (default ./datasets).  ``scene_dir`` (ICL-NUIM
+#: text depth) and ``tum_dir`` (TUM rgbd directory) sources are converted
+#: on demand with tools/scene2raw / tools/tum2raw when the .raw is absent.
 DATASETS = {
     "synthetic-room": {
         "synthetic": True, "n_frames": 120, "hw": (240, 320),
         "volume": 4.8, "init_pose": "0.5,0.5,0.23",
     },
-    # ICL-NUIM entries expect pre-converted files (tools/scene2raw):
+    # real-sensor-noise ATE as a tracked number (TUM/Kinect noise model +
+    # the bilateral filter path, reference -F flag)
+    "synthetic-room-noise": {
+        "synthetic": True, "noise": True, "n_frames": 120, "hw": (240, 320),
+        "volume": 4.8, "init_pose": "0.5,0.5,0.23",
+        "extra_args": ("-F",),
+    },
     "icl-lr-traj0": {
-        "raw": "datasets/living_room_traj0_loop.raw",
-        "gt": "datasets/livingRoom0.gt.freiburg",
+        "raw": "living_room_traj0_loop.raw",
+        "gt": "livingRoom0.gt.freiburg",
+        "scene_dir": "living_room_traj0_loop",
         "camera": "481.2,-480,320,240", "volume": 4.8,
         "init_pose": "0.34,0.5,0.24",
     },
     "icl-lr-traj2": {
-        "raw": "datasets/living_room_traj2_loop.raw",
-        "gt": "datasets/livingRoom2.gt.freiburg",
+        "raw": "living_room_traj2_loop.raw",
+        "gt": "livingRoom2.gt.freiburg",
+        "scene_dir": "living_room_traj2_loop",
         "camera": "481.2,-480,320,240", "volume": 4.8,
         "init_pose": "0.34,0.5,0.24",
     },
     "tum-fr1-desk": {
-        "raw": "datasets/rgbd_dataset_freiburg1_desk.raw",
-        "gt": "datasets/rgbd_dataset_freiburg1_desk-groundtruth.txt",
+        "raw": "rgbd_dataset_freiburg1_desk.raw",
+        "gt": "rgbd_dataset_freiburg1_desk.gt",
+        "tum_dir": "rgbd_dataset_freiburg1_desk",
         "camera": "517.3,516.5,318.6,255.3", "volume": 4.8,
+        "init_pose": "0.5,0.5,0.5",
+    },
+    "tum-fr2-xyz": {
+        "raw": "rgbd_dataset_freiburg2_xyz.raw",
+        "gt": "rgbd_dataset_freiburg2_xyz.gt",
+        "tum_dir": "rgbd_dataset_freiburg2_xyz",
+        "camera": "520.9,521.0,325.1,249.7", "volume": 4.8,
         "init_pose": "0.5,0.5,0.5",
     },
 }
 
 
+def datasets_root() -> str:
+    return os.environ.get("SE_DATASETS", "datasets")
+
+
 def prepare_dataset(name: str, spec: dict, frames: int, workdir: str):
-    """Returns (raw_path, gt_path, camera_str)."""
+    """Returns (raw_path, gt_path, camera_str).  Converts on-disk ICL/TUM
+    source directories to .raw on first use (`se_apps/scripts/_run.py`
+    drives pre-converted files; here conversion is part of preparation)."""
     if spec.get("synthetic"):
         H, W = spec["hw"]
         prefix = os.path.join(workdir, name)
         n = frames or spec["n_frames"]
-        rawp, gtp, k = synthetic.write_dataset(prefix, n, H=H, W=W,
-                                               room_dim=spec["volume"])
+        rawp, gtp, k = synthetic.write_dataset(
+            prefix, n, H=H, W=W, room_dim=spec["volume"],
+            noise=spec.get("noise", False))
         return rawp, gtp, ",".join(str(float(v)) for v in k)
-    if not os.path.exists(spec["raw"]):
-        raise FileNotFoundError(
-            f"{spec['raw']} not found — convert the dataset with "
-            f"tools/scene2raw first, or use --dataset synthetic-room")
-    return spec["raw"], spec["gt"], spec["camera"]
+
+    root = datasets_root()
+    rawp = os.path.join(root, spec["raw"])
+    gtp = os.path.join(root, spec["gt"])
+    if not os.path.exists(rawp):
+        scene_dir = spec.get("scene_dir") and os.path.join(
+            root, spec["scene_dir"])
+        tum_dir = spec.get("tum_dir") and os.path.join(root, spec["tum_dir"])
+        if scene_dir and os.path.isdir(scene_dir):
+            from supereight_tpu.tools import scene2raw
+            n = scene2raw.convert(scene_dir, rawp)
+            print(f"# scene2raw: converted {n} frames -> {rawp}",
+                  file=sys.stderr)
+        elif tum_dir and os.path.isdir(tum_dir):
+            from supereight_tpu.tools import tum2raw
+            prefix = rawp[:-4]
+            n = tum2raw.convert(tum_dir, prefix)
+            gtp = prefix + ".gt"
+            print(f"# tum2raw: converted {n} frames -> {rawp}",
+                  file=sys.stderr)
+        else:
+            raise FileNotFoundError(
+                f"{rawp} not found and no source directory "
+                f"({spec.get('scene_dir') or spec.get('tum_dir')}) under "
+                f"$SE_DATASETS={root} — place the dataset there or use "
+                f"--dataset synthetic-room")
+    return rawp, gtp, spec["camera"]
 
 
 def run(dataset: str, field: str = "sdf", resolution: int = 256,
@@ -87,6 +135,7 @@ def run(dataset: str, field: str = "sdf", resolution: int = 256,
         argv += ["--max-frames", str(frames)]
     if staged:
         argv += ["--staged"]
+    argv += list(spec.get("extra_args", ()))
     argv += list(extra_args)
 
     t0 = time.perf_counter()

@@ -45,6 +45,7 @@ class Configuration:
     block_capacity: Optional[int] = None   # max allocated blocks (None: auto)
     map_partitions: int = 1                # owner partitions (multi-device)
     raycast_normals: str = "volume"        # "volume" (reference grad) | "image"
+    raycast_second_window: bool = True     # deep-surface rescue scan
     max_alloc_per_frame: int = 8192        # candidate new blocks per frame
     raycast_coarse_samples: int = 96
     raycast_fine_samples: int = 16

@@ -105,10 +105,27 @@ def orbit_poses(n: int, room_dim: float, radius: float = 1.1,
 DEFAULT_K = (120.0, 120.0, 160.0, 120.0)   # for 320x240
 
 
+def apply_sensor_noise(depth_mm: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Kinect-style depth noise (the TUM sensors): axial sigma grows
+    quadratically with range (~1.2 mm at 0.5 m to ~25 mm at 4 m, Khoshelham
+    & Elberink 2012), plus the disparity quantisation staircase.  Applied
+    deterministically so noisy datasets are reproducible."""
+    rng = np.random.default_rng(seed)
+    z = depth_mm.astype(np.float32) / 1000.0
+    sigma_mm = 1.2 + 19.0 * (z - 0.4) ** 2 * (z > 0.4)
+    noisy = depth_mm.astype(np.float32) \
+        + rng.standard_normal(depth_mm.shape).astype(np.float32) * sigma_mm
+    # disparity quantisation: step also grows ~quadratically with range
+    step_mm = np.maximum(1.0, 2.85 * z * z)
+    noisy = np.round(noisy / step_mm) * step_mm
+    noisy = np.where(depth_mm == 0, 0.0, noisy)
+    return np.clip(noisy, 0, 65535).astype(np.uint16)
+
+
 def generate_sequence(n_frames: int, H: int = 240, W: int = 320,
-                      room_dim: float = 4.8, k=None):
+                      room_dim: float = 4.8, k=None, noise: bool = False):
     """Render an orbit sequence; returns (depths_mm uint16 [n,H,W],
-    poses [n,4,4], k)."""
+    poses [n,4,4], k).  ``noise`` applies the TUM sensor noise model."""
     if k is None:
         k = (DEFAULT_K[0] * W / 320.0, DEFAULT_K[1] * H / 240.0,
              W / 2.0, H / 2.0)
@@ -119,15 +136,18 @@ def generate_sequence(n_frames: int, H: int = 240, W: int = 320,
     frames = []
     for i in range(n_frames):
         d = render_depth(jnp.asarray(poses[i]), k_arr, room_dim, H, W)
-        frames.append(np.clip(np.asarray(d) * 1000.0, 0,
-                              65535).astype(np.uint16))
+        mm = np.clip(np.asarray(d) * 1000.0, 0, 65535).astype(np.uint16)
+        if noise:
+            mm = apply_sensor_noise(mm, seed=i)
+        frames.append(mm)
     return np.stack(frames), poses, np.asarray(k, np.float32)
 
 
 def write_dataset(prefix: str, n_frames: int, H: int = 240, W: int = 320,
-                  room_dim: float = 4.8, k=None):
+                  room_dim: float = 4.8, k=None, noise: bool = False):
     """Write ``<prefix>.raw`` + ``<prefix>.gt`` (scene2raw equivalent)."""
-    depths, poses, k = generate_sequence(n_frames, H, W, room_dim, k)
+    depths, poses, k = generate_sequence(n_frames, H, W, room_dim, k,
+                                         noise=noise)
     w = raw.RawWriter(prefix + ".raw", W, H)
     for d in depths:
         w.write(d)

@@ -166,15 +166,35 @@ def _splat_bounds(m: VoxelMap, field, view, H: int, W: int,
           & (py >= -marg) & (py <= H - 1 + marg))
 
     z_lo = jnp.maximum(z - 0.5 * diag, near)
-    cx = jnp.clip((px / g).astype(jnp.int32), 0, gw - 1)
-    cy = jnp.clip((py / g).astype(jnp.int32), 0, gh - 1)
-    tgt = jnp.where(ok, cy * gw + cx, gh * gw)
-    tmin = jnp.full((gh * gw,), jnp.inf).at[tgt].min(z_lo, mode="drop")
+    z_hi = z + 0.5 * diag
+    cxf = px / g
+    cyf = py / g
+    # Scatter each block into the 3x3 cell neighbourhood its pixel
+    # footprint actually reaches (masked), then dilate one more cell with a
+    # 3x3 min-pool.  A plain 5x5 pool (tried first) spreads a slanted
+    # surface's depth minimum over +-2 cells (~0.4 m at 2.5 m), which both
+    # forces a wide fine window and fires the second scan constantly.
+    tmin = jnp.full((gh * gw,), jnp.inf)
+    tmax = jnp.full((gh * gw,), -jnp.inf)
+    # fx recovered from view = pose @ inv(K): ||view[:3,0]|| == 1/fx
+    fx = 1.0 / jnp.maximum(jnp.linalg.norm(view[:3, 0]), 1e-9)
+    foot_r = 0.5 * diag * fx / jnp.maximum(z, 1e-3) / g
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            reach = float(np.hypot(dx, dy)) - 0.71
+            okc = ok & (foot_r >= reach)
+            cx = jnp.clip((cxf + dx).astype(jnp.int32), 0, gw - 1)
+            cy = jnp.clip((cyf + dy).astype(jnp.int32), 0, gh - 1)
+            tgt = jnp.where(okc, cy * gw + cx, gh * gw)
+            tmin = tmin.at[tgt].min(z_lo, mode="drop")
+            tmax = tmax.at[tgt].max(z_hi, mode="drop")
     tmin = tmin.reshape(gh, gw)
-    # 5x5 min-pool dilation: a block's footprint spans multiple cells
+    tmax = tmax.reshape(gh, gw)
     tmin = -jax.lax.reduce_window(-tmin, -jnp.inf, jax.lax.max,
-                                  (5, 5), (1, 1), "SAME")
-    return tmin, g
+                                  (3, 3), (1, 1), "SAME")
+    tmax = jax.lax.reduce_window(tmax, -jnp.inf, jax.lax.max,
+                                 (3, 3), (1, 1), "SAME")
+    return tmin, tmax, g
 
 
 class _Fine(NamedTuple):
@@ -207,27 +227,33 @@ def _fine_scan(m, dense, field, origin, dirs, z_start, span, n_samples,
     f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan)   # [F, h, w]
     ok = ~jnp.isnan(f)
 
-    # forward-fill of the last valid sample index along the depth axis
+    # Forward-fill of "last valid sample was outside" WITHOUT a gather:
+    # encode (sample index, outside-bit) into one int and cummax — the max
+    # carries the most recent valid sample's index and sign.  (A
+    # take_along_axis forward-fill of the values costs another full-size
+    # gather, measured at ~4 ms of the old 10 ms fine scan.)
     steps = jnp.arange(F, dtype=jnp.int32)[:, None, None]
-    last_idx = jax.lax.cummax(jnp.where(ok, steps, -1), axis=0)  # [F, h, w]
-    f_fill = jnp.take_along_axis(jnp.where(ok, f, 0.0),
-                                 jnp.maximum(last_idx, 0), axis=0)
-    prev_last = jnp.concatenate([jnp.full_like(last_idx[:1], -1),
-                                 last_idx[:-1]])
-    prev_fill = jnp.concatenate([jnp.zeros_like(f_fill[:1]),
-                                 f_fill[:-1]])
+    outside = ok & ~field.is_inside(f)
+    enc = jnp.where(ok, steps * 2 + outside.astype(jnp.int32), -1)
+    last_enc = jax.lax.cummax(enc, axis=0)                    # [F, h, w]
+    prev_enc = jnp.concatenate([jnp.full_like(last_enc[:1], -1),
+                                last_enc[:-1]])
+    prev_valid = prev_enc >= 0
+    prev_was_outside = (prev_enc & 1) == 1
+    prev_idx = jnp.maximum(prev_enc >> 1, 0)
 
-    crossing = (ok & (prev_last >= 0) & field.is_inside(f)
-                & ~field.is_inside(prev_fill))
+    crossing = (ok & prev_valid & field.is_inside(f) & prev_was_outside)
     crossing = crossing & active[None]
     hit = jnp.any(crossing, axis=0)
     j_star = jnp.argmax(crossing, axis=0)                     # first crossing
 
     take = lambda a: jnp.take_along_axis(a, j_star[None], axis=0)[0]
     f_hi = take(f)
-    f_lo = take(prev_fill)
+    j_lo = take(prev_idx)                                     # [h, w]
+    z_lo = z_start + dz * j_lo.astype(jnp.float32)
+    # value of the bracketing outside sample: one small per-ray gather
+    f_lo = jnp.take_along_axis(jnp.where(ok, f, 0.0), j_lo[None], axis=0)[0]
     z_hi = take(z)
-    z_lo = z_start + dz * jnp.maximum(take(prev_last), 0).astype(jnp.float32)
 
     # linear crossing solve between the two valid samples
     # (rendering_impl.hpp:66), using their true spacing across invalid gaps
@@ -258,7 +284,7 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     if dense is None:
         dense = pack_view(m, field)
 
-    tgrid, g = _splat_bounds(m, field, view, H, W, near, far)
+    tgrid, tmax_grid, g = _splat_bounds(m, field, view, H, W, near, far)
 
     vs = m.voxel_size
     thickness = field.mu if field.invert_normals else 2.0 * vs
@@ -284,6 +310,8 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         fd = dirs
     t0 = jnp.repeat(jnp.repeat(tgrid, rep, 0), rep, 1)[:fd.shape[0],
                                                        :fd.shape[1]]
+    t1 = jnp.repeat(jnp.repeat(tmax_grid, rep, 0), rep, 1)[:fd.shape[0],
+                                                           :fd.shape[1]]
     active = jnp.isfinite(t0)
     z_start = jnp.clip(jnp.where(active, t0, near), near, far)
 
@@ -291,11 +319,18 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
                     n_fine, active)
 
     # second window: surfaces deeper than the nearest splatted block (e.g.
-    # a wall behind a grazed silhouette block); rare -> cond-skipped
+    # a wall behind a grazed silhouette block).  Only rays whose splatted
+    # FAR bound extends beyond window 1 can possibly hit deeper — this
+    # gate keeps the cond from firing on plain far-misses every frame.
     if second_window:
-        need2 = active & ~f1.hit & (z_start + fine_span < far)
+        # one block-diagonal of slack: the 5x5 pooled far bound can
+        # underestimate t_max for pixels whose deep blocks splat just
+        # outside the pooling neighbourhood
+        need2 = active & ~f1.hit & (z_start + fine_span < t1 + diag)
 
         def scan2(_):
+            # full sampling: half-stepped window 2 was tried and loses
+            # hits (step == band half-width can straddle the inside region)
             f2 = _fine_scan(m, dense, field, origin, fd,
                             z_start + fine_span, fine_span, n_fine, need2)
             return f2.hit, f2.z_hit
@@ -324,6 +359,16 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
 
     if normals == "image":
         normal, bad = _image_normals(vertex, hit, dirs)
+    elif normals == "forward3":
+        # 3-tap forward difference: the solved vertex sits at the surface
+        # (f = boundary by construction), so grad_i ~ (f(x+e_i) - boundary)
+        # / h with 3 gathered descriptors instead of 6
+        g_ = _grad3(m, dense, field, vertex)
+        if field.invert_normals:
+            g_ = -g_
+        gn = jnp.linalg.norm(g_, axis=-1, keepdims=True)
+        normal = g_ / jnp.maximum(gn, 1e-12)
+        bad = ~hit | (gn[..., 0] == 0)
     else:
         # normals: 6-tap central difference at the hit (the reference's
         # trilinear-blended grad `octree.hpp:566-737` reduces to this at
@@ -391,6 +436,26 @@ def _refine(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta):
     frac = (f_hi - field.surf_boundary) / denom
     z_new = z_hit + delta + 2.0 * delta * frac
     return jnp.where(crossing, z_new, z_hit), hit & ~miss
+
+
+def _grad3(m: VoxelMap, dense, field, pos_world):
+    """Forward-difference gradient from 3 taps at +1 voxel, anchored at the
+    surface value (``field.surf_boundary``); see raycast(normals=...).
+
+    Documented negative result (bench_data): 34.8 fps at 256^3 but ATE
+    12 cm vs 2.2 cm — one-sided derivatives are too noisy for the
+    point-to-plane solve.  Kept for the perf record; default is _grad6."""
+    inv_vs = m.inverse_voxel_size
+    vol = dense["F"]
+    spec = [c for c in m.channels if c.name == field.select_channel][0]
+    base = pos_world * inv_vs
+    grads = []
+    for axis in range(3):
+        e = jnp.zeros((3,)).at[axis].set(1.0)
+        val, _ = _sample_volume(vol, base + e, m.size, spec.empty)
+        grads.append(jnp.nan_to_num(val, nan=spec.init)
+                     - field.surf_boundary)
+    return jnp.stack(grads, axis=-1)
 
 
 def _grad6(m: VoxelMap, dense, field, pos_world):

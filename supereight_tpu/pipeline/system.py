@@ -88,6 +88,7 @@ class DenseSLAMSystem:
                 bilateral=config.bilateral_filter,
                 icp_threshold=config.icp_threshold,
                 normals=config.raycast_normals,
+                second_window=config.raycast_second_window,
             ),
             static_argnames=("use_gt", "neg_y"))
         # (no donation here: callers may hold references to earlier states;
@@ -107,7 +108,8 @@ class DenseSLAMSystem:
                 integration_rate=config.integration_rate)),
             "raycasting": jax.jit(functools.partial(
                 raycasting_stage, field=self.field,
-                normals=config.raycast_normals)),
+                normals=config.raycast_normals,
+                second_window=config.raycast_second_window)),
         }
 
     # ---- reference-parity accessors ----
@@ -338,7 +340,8 @@ def integration_stage(state: FrameState, k, frame, *, field,
 
 
 def raycasting_stage(state: FrameState, k, frame, *, field,
-                     normals: str = "volume") -> FrameState:
+                     normals: str = "volume",
+                     second_window: bool = True) -> FrameState:
     """raycasting() (`DenseSLAMSystem.cpp:191-204`): refresh the reference
     model maps from the current pose (only after the bootstrap frames)."""
     H, W = state.float_depth.shape
@@ -348,7 +351,7 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
         m, pose = args
         view = pose @ camera.inverse_camera_matrix(k)
         rc = raycast.raycast(m, field, view, H, W, NEAR_PLANE, FAR_PLANE,
-                             normals=normals)
+                             normals=normals, second_window=second_window)
         return rc.vertex, rc.normal, pose
 
     def skip_fn(args):
@@ -363,7 +366,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
 def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   *, field, iterations, tracking_rate, integration_rate,
                   bilateral, icp_threshold, use_gt: bool,
-                  neg_y: bool, normals: str = "volume") -> FrameState:
+                  neg_y: bool, normals: str = "volume",
+                  second_window: bool = True) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
@@ -373,4 +377,5 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                            neg_y=neg_y)
     state = integration_stage(state, k, frame, field=field,
                               integration_rate=integration_rate)
-    return raycasting_stage(state, k, frame, field=field, normals=normals)
+    return raycasting_stage(state, k, frame, field=field, normals=normals,
+                            second_window=second_window)
