@@ -34,6 +34,13 @@ def main():
         normals = sys.argv[sys.argv.index("--normals") + 1]
     second_window = "--no-fine2" not in sys.argv
 
+    def _intflag(name, default):
+        return int(sys.argv[sys.argv.index(name) + 1]) \
+            if name in sys.argv else default
+    size = _intflag("--size", 256)
+    capacity = _intflag("--capacity", 12288)
+    nf = _intflag("--frames", 96)
+
     import jax
     import jax.numpy as jnp
     from supereight_tpu.config import Configuration
@@ -45,12 +52,12 @@ def main():
     z = np.load(os.path.join(here, "bench_data/synthetic_256_frames.npz"))
     depths, poses = z["depths"], z["poses"]
     k = np.asarray([240.6, 240.0, 160.0, 120.0], np.float32)
-    H, W, SIZE, NF = 240, 320, 256, 96
+    H, W, SIZE, NF = 240, 320, size, nf
 
     cfg = Configuration(volume_resolution=(SIZE,) * 3,
                         volume_size=(4.8,) * 3, pyramid=(10, 5, 4),
                         integration_rate=1,
-                        block_capacity=12288,
+                        block_capacity=capacity,
                         mu=0.1 if field_name == "sdf" else 0.05,
                         raycast_normals=normals,
                         raycast_second_window=second_window,
@@ -102,6 +109,8 @@ def main():
     rpe = evaluate.rpe(list(est), list(poses[:NF]))
     rec = {
         "frames": NF,
+        "size": SIZE,
+        "capacity": capacity,
         "field": field_name,
         "mode": "gt" if use_gt else "icp",
         "normals": normals,
@@ -121,7 +130,8 @@ def main():
         mode += "_imgn"
     if not second_window:
         mode += "_nf2"
-    path = os.path.join(here, f"bench_data/ate_icp{suffix}_256{mode}.json")
+    path = os.path.join(here,
+                        f"bench_data/ate_icp{suffix}_{SIZE}{mode}.json")
     with open(path, "w") as fh:
         json.dump(rec, fh, indent=1)
 

@@ -349,9 +349,13 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         hit = up(hit)
         z_hit = up(z_hit)
         # full-res validation + sub-step re-solve around the half-res z:
-        # pixels whose own ray has no crossing there (silhouettes) drop out
+        # pixels whose own ray has no crossing there (silhouettes) drop out.
+        # delta = 1.4 steps (0.7 * thickness): both samples stay inside the
+        # +-thickness linear band — at the old 3-step delta they were
+        # usually clamped/truncated values, biasing the linear solve —
+        # while still covering the surface-z spread across the 2x2 upsample
         z_hit, hit = _refine(m, dense, field, origin, dirs, z_hit, hit,
-                             3.0 * fine_step)
+                             1.4 * fine_step)
 
     vertex = origin + dirs * z_hit[..., None]
     ray_norm = jnp.linalg.norm(dirs, axis=-1)
