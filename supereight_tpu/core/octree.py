@@ -529,6 +529,23 @@ def axis_aligned_map(m: VoxelMap, fn) -> VoxelMap:
     return m.replace(voxels=vox)
 
 
+def pack_tiled(m: VoxelMap, channel: str) -> jnp.ndarray:
+    """Materialize one channel as brick-tiled rows ``dtype[B^3, 512]`` with
+    ``empty`` baked into unallocated rows — the dense volume in tiled
+    layout, skipping :func:`pack_dense`'s 6D untiling transpose (whose
+    tile-padded intermediate costs 16x memory: 34 GB at 1024^3).  Sampling
+    uses (row, col) = (block linear, brick linear) indexing instead of
+    (x, y, z)."""
+    spec = _channel(m, channel)
+    B = m.blocks_per_edge
+    bc = block_coords_table(m)
+    live = slot_mask(m)
+    lin = bc[:, 0] * B * B + bc[:, 1] * B + bc[:, 2]
+    tgt = jnp.where(live, lin, B * B * B)
+    flat = jnp.full((B * B * B, BLOCK_VOXELS), spec.empty, dtype=spec.dtype)
+    return flat.at[tgt].set(m.voxels[channel], mode="drop")
+
+
 def pack_dense(m: VoxelMap, channel: str) -> jnp.ndarray:
     """Materialize one channel as a dense ``dtype[S, S, S]`` volume with
     ``empty`` baked into unallocated space.

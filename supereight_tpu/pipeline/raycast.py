@@ -66,36 +66,67 @@ def pack_view(m: VoxelMap, field):
     unallocated space, matching the reference's ``volume.get`` descend
     (`bfusion/rendering_impl.hpp:52`, `octree.hpp:313-368`).
 
-    Returns ``{"F": ..., select: ...}`` where ``F`` is the select channel
-    with *invalid* samples (the reference's weight==0 / unobserved skip,
+    Returns ``{"F": ...}`` where ``F`` is the select channel with *invalid*
+    samples (the reference's weight==0 / unobserved skip,
     `rendering_impl.hpp:49-53`) encoded as NaN — so the sweep samples ONE
-    array per round and `isnan` recovers validity; comparisons against NaN
-    are False, so an invalid sample can never read as a crossing.
+    array and `isnan` recovers validity; comparisons against NaN are
+    False, so an invalid sample can never read as a crossing.
+
+    Single-scale fields return a brick-TILED view (``[B^3, 512]`` rows):
+    the NaN-encode runs on the compact ``[capacity, 512]`` table and one
+    row scatter materializes it — no dense 6D untiling (which OOMs at
+    1024^3) and ~16x less encode arithmetic.  Multiscale (occupancy)
+    fields keep the 3D dense view with the node pyramid showing through
+    unallocated space (`bfusion/rendering_impl.hpp:52`,
+    `octree.hpp:313-368`).
     """
-    pack = octree.pack_dense_multiscale if field.multiscale_alloc \
-        else octree.pack_dense
-    dense = {c.name: pack(m, c.name).astype(jnp.float32)
-             for c in m.channels}
-    valid = field.sample_valid(dense)
-    f = dense[field.select_channel]
-    # NaN marks invalid; note f == init wherever invalid (a never-fused
-    # voxel still holds the init value), so nan_to_num(F, init) recovers
-    # the raw field exactly — no second dense copy needed.
-    # bf16 halves pack/mip/sample traffic; for a [-1,1] TSDF the rounding
-    # is <=2^-8, i.e. <1 mm surface error at mu=0.1 (occupancy log-odds
-    # stay f32: their range spans +-1000 and the zero crossing matters).
+    if field.multiscale_alloc:
+        dense = {c.name: octree.pack_dense_multiscale(m, c.name)
+                 .astype(jnp.float32) for c in m.channels}
+        valid = field.sample_valid(dense)
+        f = dense[field.select_channel]
+        return {"F": jnp.where(valid, f, jnp.nan)}
+
+    # tiled path: encode on the block table, scatter rows once
+    data = {c.name: m.voxels[c.name].astype(jnp.float32)
+            for c in m.channels}
+    valid = field.sample_valid(data)
+    f = data[field.select_channel]
     enc = jnp.where(valid, f, jnp.nan)
-    if field.invert_normals:
-        enc = enc.astype(jnp.bfloat16)
-    return {"F": enc}
+    # bf16 halves pack/sample traffic; for a [-1,1] TSDF the rounding is
+    # <=2^-8, i.e. <1 mm surface error at mu=0.1
+    dtype = jnp.bfloat16 if field.invert_normals else jnp.float32
+    # what unallocated space reads: the field's empty values, NaN if the
+    # field treats empty as unobserved
+    with jax.ensure_compile_time_eval():
+        empties = {c.name: jnp.full((), c.empty, jnp.float32)
+                   for c in m.channels}
+        ev = field.sample_valid(empties)
+        fill = float(empties[field.select_channel]) if bool(ev) \
+            else float("nan")
+
+    B = m.blocks_per_edge
+    bc = octree.block_coords_table(m)
+    live = octree.slot_mask(m)
+    lin = bc[:, 0] * B * B + bc[:, 1] * B + bc[:, 2]
+    tgt = jnp.where(live, lin, B * B * B)
+    flat = jnp.full((B * B * B, octree.BLOCK_VOXELS), fill, dtype=dtype)
+    flat = flat.at[tgt].set(enc.astype(dtype), mode="drop")
+    return {"F": flat}
 
 
 def build_mip(m: VoxelMap, field, dense=None, factor: int = 4):
-    """1/factor-res pooled field for the coarse sweep.  Pooling keeps the
-    'most inside' value so thin surfaces survive (min for SDF, max for
-    occupancy); invalid (NaN) samples pool as 'outside'."""
-    if dense is None:
-        dense = pack_view(m, field)
+    """1/factor-res pooled field (legacy coarse-sweep view; the raycaster
+    uses _splat_bounds now).  Pooling keeps the 'most inside' value so thin
+    surfaces survive (min for SDF, max for occupancy); invalid (NaN)
+    samples pool as 'outside'."""
+    if dense is None or dense["F"].ndim != 3:
+        pack = octree.pack_dense_multiscale if field.multiscale_alloc \
+            else octree.pack_dense
+        dd = {c.name: pack(m, c.name).astype(jnp.float32)
+              for c in m.channels}
+        valid = field.sample_valid(dd)
+        dense = {"F": jnp.where(valid, dd[field.select_channel], jnp.nan)}
     outside = 1.0 if field.invert_normals else -1.0
     fa = jnp.nan_to_num(dense["F"], nan=outside)
     op = jnp.minimum if field.invert_normals else jnp.maximum
@@ -114,11 +145,21 @@ def build_mip(m: VoxelMap, field, dense=None, factor: int = 4):
 
 
 def _sample_volume(vol, pos_vox, size, fill):
-    """Nearest-voxel lookup with out-of-bounds fill."""
+    """Nearest-voxel lookup with out-of-bounds fill.  ``vol`` is either a
+    dense ``[S,S,S]`` volume or a brick-tiled ``[B^3, 512]`` row view
+    (see pack_view); both cost one gathered descriptor per sample."""
     v = jnp.floor(pos_vox).astype(jnp.int32)
     inb = ((v >= 0) & (v < size)).all(axis=-1)
     vc = jnp.clip(v, 0, size - 1)
-    val = vol[vc[..., 0], vc[..., 1], vc[..., 2]].astype(jnp.float32)
+    if vol.ndim == 2:      # tiled rows
+        B = size // BLOCK_SIDE
+        b = vc >> 3
+        l = vc & 7
+        row = (b[..., 0] * B + b[..., 1]) * B + b[..., 2]
+        col = l[..., 0] + l[..., 1] * 8 + l[..., 2] * 64
+        val = vol[row, col].astype(jnp.float32)
+    else:
+        val = vol[vc[..., 0], vc[..., 1], vc[..., 2]].astype(jnp.float32)
     return jnp.where(inb, val, jnp.float32(fill)), inb
 
 
@@ -220,11 +261,14 @@ def _fine_scan(m, dense, field, origin, dirs, z_start, span, n_samples,
     inv_vs = m.inverse_voxel_size
     dz = span / n_samples
     F = n_samples + 1
+    rshape = dirs.shape[:-1]          # ray batch: [h, w] or compacted [n]
 
-    # one [F, h, w] gather: NaN marks invalid AND out-of-volume samples
-    z = z_start[None] + dz * jnp.arange(F, dtype=jnp.float32)[:, None, None]
+    # one [F, *rays] gather: NaN marks invalid AND out-of-volume samples
+    stepshape = (F,) + (1,) * len(rshape)
+    z = z_start[None] + dz * jnp.arange(F, dtype=jnp.float32) \
+        .reshape(stepshape)
     pos = (origin + dirs[None] * z[..., None]) * inv_vs
-    f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan)   # [F, h, w]
+    f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan)   # [F, *rays]
     ok = ~jnp.isnan(f)
 
     # Forward-fill of "last valid sample was outside" WITHOUT a gather:
@@ -232,7 +276,7 @@ def _fine_scan(m, dense, field, origin, dirs, z_start, span, n_samples,
     # carries the most recent valid sample's index and sign.  (A
     # take_along_axis forward-fill of the values costs another full-size
     # gather, measured at ~4 ms of the old 10 ms fine scan.)
-    steps = jnp.arange(F, dtype=jnp.int32)[:, None, None]
+    steps = jnp.arange(F, dtype=jnp.int32).reshape(stepshape)
     outside = ok & ~field.is_inside(f)
     enc = jnp.where(ok, steps * 2 + outside.astype(jnp.int32), -1)
     last_enc = jax.lax.cummax(enc, axis=0)                    # [F, h, w]
@@ -320,25 +364,27 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
 
     # second window: surfaces deeper than the nearest splatted block (e.g.
     # a wall behind a grazed silhouette block).  Only rays whose splatted
-    # FAR bound extends beyond window 1 can possibly hit deeper — this
-    # gate keeps the cond from firing on plain far-misses every frame.
+    # FAR bound extends beyond window 1 can possibly hit deeper (one
+    # block-diagonal of slack compensates pooling locality).  The needy
+    # rays — typically a few % at silhouettes — are COMPACTED into a fixed
+    # budget and only they are re-scanned: a full masked second pass over
+    # all rays was measured at ~5.5 ms/frame; the compacted one is ~1.5 ms.
     if second_window:
-        # one block-diagonal of slack: the 5x5 pooled far bound can
-        # underestimate t_max for pixels whose deep blocks splat just
-        # outside the pooling neighbourhood
         need2 = active & ~f1.hit & (z_start + fine_span < t1 + diag)
-
-        def scan2(_):
-            # full sampling: half-stepped window 2 was tried and loses
-            # hits (step == band half-width can straddle the inside region)
-            f2 = _fine_scan(m, dense, field, origin, fd,
-                            z_start + fine_span, fine_span, n_fine, need2)
-            return f2.hit, f2.z_hit
-
-        def skip2(_):
-            return jnp.zeros_like(f1.hit), jnp.zeros_like(f1.z_hit)
-
-        hit2, z2 = jax.lax.cond(jnp.any(need2), scan2, skip2, None)
+        n_rays = fd.shape[0] * fd.shape[1]
+        budget = min(8192, n_rays)
+        idx = jnp.nonzero(need2.reshape(-1), size=budget,
+                          fill_value=-1)[0]
+        sel = jnp.maximum(idx, 0)
+        fd2 = fd.reshape(-1, 3)[sel]
+        zs2 = (z_start + fine_span).reshape(-1)[sel]
+        f2 = _fine_scan(m, dense, field, origin, fd2, zs2, fine_span,
+                        n_fine, idx >= 0)
+        tgt = jnp.where(idx >= 0, idx, n_rays)
+        hit2 = jnp.zeros((n_rays,), bool).at[tgt].set(f2.hit, mode="drop") \
+            .reshape(f1.hit.shape)
+        z2 = jnp.zeros((n_rays,)).at[tgt].set(f2.z_hit, mode="drop") \
+            .reshape(f1.z_hit.shape)
         hit = f1.hit | hit2
         z_hit = jnp.where(f1.hit, f1.z_hit, z2)
     else:
