@@ -38,6 +38,8 @@ def main():
         return int(sys.argv[sys.argv.index(name) + 1]) \
             if name in sys.argv else default
     size = _intflag("--size", 256)
+    span = float(sys.argv[sys.argv.index("--span") + 1]) \
+        if "--span" in sys.argv else 1.6
     capacity = _intflag("--capacity", 12288)
     nf = _intflag("--frames", 96)
 
@@ -61,6 +63,7 @@ def main():
                         mu=0.1 if field_name == "sdf" else 0.05,
                         raycast_normals=normals,
                         raycast_second_window=second_window,
+                        raycast_span_factor=span,
                         field_type=field_name)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
@@ -70,7 +73,7 @@ def main():
                            integration_rate=1, bilateral=False,
                            icp_threshold=cfg.icp_threshold,
                            use_gt=use_gt, neg_y=False, normals=normals,
-                           second_window=second_window)
+                           second_window=second_window, span_factor=span)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -115,6 +118,7 @@ def main():
         "mode": "gt" if use_gt else "icp",
         "normals": normals,
         "second_window": second_window,
+        "span_factor": span,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
         "ate_max_m": round(ate["max"], 4),

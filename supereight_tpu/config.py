@@ -46,6 +46,7 @@ class Configuration:
     map_partitions: int = 1                # owner partitions (multi-device)
     raycast_normals: str = "volume"        # "volume" (reference grad) | "image"
     raycast_second_window: bool = True     # deep-surface rescue scan
+    raycast_span_factor: float = 1.6       # fine window: span*diag + 2*band
     max_alloc_per_frame: int = 8192        # candidate new blocks per frame
     raycast_coarse_samples: int = 96
     raycast_fine_samples: int = 16

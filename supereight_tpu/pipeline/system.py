@@ -89,6 +89,7 @@ class DenseSLAMSystem:
                 icp_threshold=config.icp_threshold,
                 normals=config.raycast_normals,
                 second_window=config.raycast_second_window,
+                span_factor=config.raycast_span_factor,
             ),
             static_argnames=("use_gt", "neg_y"))
         # (no donation here: callers may hold references to earlier states;
@@ -109,7 +110,8 @@ class DenseSLAMSystem:
             "raycasting": jax.jit(functools.partial(
                 raycasting_stage, field=self.field,
                 normals=config.raycast_normals,
-                second_window=config.raycast_second_window)),
+                second_window=config.raycast_second_window,
+                span_factor=config.raycast_span_factor)),
         }
 
     # ---- reference-parity accessors ----
@@ -341,7 +343,8 @@ def integration_stage(state: FrameState, k, frame, *, field,
 
 def raycasting_stage(state: FrameState, k, frame, *, field,
                      normals: str = "volume",
-                     second_window: bool = True) -> FrameState:
+                     second_window: bool = True,
+                     span_factor: float = 1.6) -> FrameState:
     """raycasting() (`DenseSLAMSystem.cpp:191-204`): refresh the reference
     model maps from the current pose (only after the bootstrap frames)."""
     H, W = state.float_depth.shape
@@ -351,7 +354,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
         m, pose = args
         view = pose @ camera.inverse_camera_matrix(k)
         rc = raycast.raycast(m, field, view, H, W, NEAR_PLANE, FAR_PLANE,
-                             normals=normals, second_window=second_window)
+                             normals=normals, second_window=second_window,
+                             span_factor=span_factor)
         return rc.vertex, rc.normal, pose
 
     def skip_fn(args):
@@ -367,7 +371,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   *, field, iterations, tracking_rate, integration_rate,
                   bilateral, icp_threshold, use_gt: bool,
                   neg_y: bool, normals: str = "volume",
-                  second_window: bool = True) -> FrameState:
+                  second_window: bool = True,
+                  span_factor: float = 1.6) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
@@ -378,4 +383,5 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
     state = integration_stage(state, k, frame, field=field,
                               integration_rate=integration_rate)
     return raycasting_stage(state, k, frame, field=field, normals=normals,
-                            second_window=second_window)
+                            second_window=second_window,
+                            span_factor=span_factor)
