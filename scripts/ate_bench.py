@@ -42,6 +42,7 @@ def main():
         if "--span" in sys.argv else 1.6
     capacity = _intflag("--capacity", 12288)
     nf = _intflag("--frames", 96)
+    int_rate = _intflag("--int-rate", 1)
 
     import jax
     import jax.numpy as jnp
@@ -58,7 +59,7 @@ def main():
 
     cfg = Configuration(volume_resolution=(SIZE,) * 3,
                         volume_size=(4.8,) * 3, pyramid=(10, 5, 4),
-                        integration_rate=1,
+                        integration_rate=int_rate,
                         block_capacity=capacity,
                         mu=0.1 if field_name == "sdf" else 0.05,
                         raycast_normals=normals,
@@ -70,7 +71,7 @@ def main():
 
     fn = functools.partial(process_frame, field=slam.field,
                            iterations=slam.iterations, tracking_rate=1,
-                           integration_rate=1, bilateral=False,
+                           integration_rate=int_rate, bilateral=False,
                            icp_threshold=cfg.icp_threshold,
                            use_gt=use_gt, neg_y=False, normals=normals,
                            second_window=second_window, span_factor=span)
@@ -119,6 +120,7 @@ def main():
         "normals": normals,
         "second_window": second_window,
         "span_factor": span,
+        "integration_rate": int_rate,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
         "ate_max_m": round(ate["max"], 4),
@@ -134,6 +136,8 @@ def main():
         mode += "_imgn"
     if not second_window:
         mode += "_nf2"
+    if int_rate != 1:
+        mode += f"_z{int_rate}"
     path = os.path.join(here,
                         f"bench_data/ate_icp{suffix}_{SIZE}{mode}.json")
     with open(path, "w") as fh:

@@ -36,7 +36,7 @@ def main():
     # build a realistic 32-frame map once (gt poses, fused path)
     cfg = Configuration(volume_resolution=(SIZE,) * 3, volume_size=(4.8,) * 3,
                         pyramid=(10, 5, 4), integration_rate=1,
-                        block_capacity=12288)
+                        block_capacity=6144)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
     fn = functools.partial(process_frame, field=slam.field,

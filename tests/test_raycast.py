@@ -1,0 +1,136 @@
+"""Raycast unit tests: splat bounds, fine-scan crossing exactness, tiled
+packed-view equivalence.
+
+Complements the end-to-end checks in test_pipeline.py with the
+reference-style analytic strategy (SURVEY.md section 4): hand-built maps
+with known surfaces, closed-form expectations.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from supereight_tpu.core import octree
+from supereight_tpu.fields import make_field
+from supereight_tpu.pipeline import camera, raycast
+
+DIM = 4.8
+SIZE = 64
+VS = DIM / SIZE
+H, W = 48, 64
+K4 = np.asarray([40.0, 40.0, W / 2.0, H / 2.0], np.float32)
+
+
+def _wall_map(wall_z=3.0, mu=0.3):
+    """A z = wall_z wall fused into an SDF map (band allocated + written)."""
+    field = make_field("sdf", mu=mu)
+    m = octree.init(SIZE, DIM, field.channels, capacity=1024)
+    # allocate the band around the wall
+    zb0 = int((wall_z - mu) / VS / 8)
+    zb1 = int((wall_z + mu) / VS / 8) + 1
+    B = SIZE // 8
+    wanted = jnp.zeros((B, B, B), bool).at[:, :, zb0:zb1 + 1].set(True)
+    m = octree.allocate_block_mask(m, wanted)
+
+    def write(vals, coords):
+        z = (coords[..., 2].astype(jnp.float32) + 0.5) * VS
+        sdf = jnp.clip((wall_z - z) / mu, -1.0, 1.0)
+        return {"tsdf": sdf, "weight": jnp.ones_like(sdf)}
+
+    m = octree.axis_aligned_map(m, write)
+    return m, field
+
+
+def _front_view():
+    """Camera at z=0.6 looking along +z (centred in x/y)."""
+    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([DIM / 2, DIM / 2, 0.6]))
+    return pose @ camera.inverse_camera_matrix(jnp.asarray(K4)), pose
+
+
+class TestTiledView:
+    def test_pack_tiled_matches_pack_dense(self):
+        m, field = _wall_map()
+        tiled = np.asarray(octree.pack_tiled(m, "tsdf"))
+        dense = np.asarray(octree.pack_dense(m, "tsdf"))
+        B = SIZE // 8
+        rng = np.random.default_rng(0)
+        pts = rng.integers(0, SIZE, (200, 3))
+        for x, y, z in pts:
+            row = (x // 8 * B + y // 8) * B + z // 8
+            col = (x % 8) + (y % 8) * 8 + (z % 8) * 64
+            assert tiled[row, col] == dense[x, y, z]
+
+    def test_sample_volume_tiled_equals_dense(self):
+        m, field = _wall_map()
+        view = raycast.pack_view(m, field)     # tiled for SDF
+        assert view["F"].ndim == 2
+        dense3 = np.asarray(octree.pack_dense(m, "tsdf"))
+        rng = np.random.default_rng(1)
+        pos = jnp.asarray(rng.uniform(0, SIZE, (500, 3)), jnp.float32)
+        got, _ = raycast._sample_volume(view["F"], pos, SIZE, jnp.nan)
+        v = np.floor(np.asarray(pos)).astype(int)
+        want = dense3[v[:, 0], v[:, 1], v[:, 2]]
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-2)
+
+
+class TestSplatBounds:
+    def test_start_bounds_bracket_the_wall(self):
+        m, field = _wall_map(wall_z=3.0)
+        view, pose = _front_view()
+        tmin, tmax, g = raycast._splat_bounds(m, field, view, H, W,
+                                              0.4, 4.0)
+        tmin = np.asarray(tmin)
+        tmax = np.asarray(tmax)
+        # central cells: the camera is 2.4 m from the wall; the splatted
+        # window must start before it and end after it
+        c = tmin[tmin.shape[0] // 2, tmin.shape[1] // 2]
+        assert np.isfinite(c)
+        assert c <= 2.4
+        assert tmax[tmax.shape[0] // 2, tmax.shape[1] // 2] >= 2.4
+        # and not absurdly early (the wall band is only ~2 blocks thick)
+        assert c >= 2.4 - 1.5
+
+    def test_empty_map_has_no_bounds(self):
+        field = make_field("sdf", mu=0.3)
+        m = octree.init(SIZE, DIM, field.channels, capacity=256)
+        view, _ = _front_view()
+        tmin, tmax, g = raycast._splat_bounds(m, field, view, H, W,
+                                              0.4, 4.0)
+        assert not np.isfinite(np.asarray(tmin)).any()
+
+
+class TestCrossingExactness:
+    def test_linear_solve_recovers_plane_depth(self):
+        """The fine scan + solve must localize a planar surface to well
+        under a voxel (the band is linear by construction)."""
+        m, field = _wall_map(wall_z=3.0, mu=0.3)
+        view, pose = _front_view()
+        rc = raycast.raycast(m, field, view, H, W, 0.4, 4.0)
+        t = np.asarray(rc.t_hit)
+        hit = t > 0
+        assert hit.mean() > 0.9
+        # central pixel ray is axis-aligned: depth = 3.0 - 0.6 = 2.4
+        err = abs(t[H // 2, W // 2] - 2.4)
+        assert err < 0.5 * VS, f"center depth error {err:.4f} m"
+        # reference convention: SDF normals are the NEGATED gradient
+        # (`rendering.cpp:80-82`); sdf increases toward the camera here, so
+        # the normal points +z (matching vertex2normal's winding on the
+        # input side — ICP only needs the two conventions to agree)
+        n = np.asarray(rc.normal)
+        assert n[H // 2, W // 2, 2] > 0.9
+
+    def test_unobserved_gap_does_not_cross(self):
+        """Weight-0 voxels between the camera and the wall must not
+        produce crossings (`rendering_impl.hpp:49-53` skip semantics)."""
+        m, field = _wall_map(wall_z=3.0, mu=0.3)
+        # zero out the weights of the front half of the band: those voxels
+        # become unobserved; the crossing must survive behind them only if
+        # a valid outside sample precedes it -> the far band half alone
+        # has no outside->inside pair, so rays must MISS
+        def clear(vals, coords):
+            z = (coords[..., 2].astype(jnp.float32) + 0.5) * VS
+            w = jnp.where(z < 3.06, 0.0, vals["weight"])
+            return {"tsdf": vals["tsdf"], "weight": w}
+        m2 = octree.axis_aligned_map(m, clear)
+        view, _ = _front_view()
+        rc = raycast.raycast(m2, field, view, H, W, 0.4, 4.0)
+        assert (np.asarray(rc.t_hit) > 0).mean() < 0.05
