@@ -1,11 +1,11 @@
 """Benchmark: fused SLAM frames/s/chip at the canonical configuration.
 
 Canonical reference run (BASELINE.md): ICL-NUIM lr-traj2, SDF, 4.8 m volume,
-256^3 voxels, compute size 320x240, pyramid (10,5,4).  ICL-NUIM is not
-fetchable in this environment, so the frames come from the analytic-room
-renderer (supereight_tpu.io.synthetic) at identical resolution/intrinsics —
-the compute per frame (track + allocate + integrate + raycast every frame)
-is the same.
+256^3 voxels, compute size 320x240, pyramid (10,5,4), integration every 4th
+frame (-z 4).  ICL-NUIM is not fetchable in this environment, so the frames
+come from the analytic-room renderer (supereight_tpu.io.synthetic) at
+identical resolution/intrinsics — the compute per frame (track every frame,
+allocate+integrate at the canonical rate, raycast every frame) is the same.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 100 (the >=100 fused fps/chip target in
@@ -83,15 +83,18 @@ def main():
     # capacity right-sized to the scene (3304 live blocks with the exact
     # allocator + 86% headroom); every capacity-proportional cost (patch
     # gathers, pack, splat) shrinks with it.  ATE unchanged (bench_data).
+    # the reference's canonical lr-traj2 command integrates every 4th frame
+    # (-z 4, BASELINE.md / reference README.md:77-81); the -z 1 quality
+    # record lives in bench_data/ate_icp_256.json (40.2 fps, ATE 1.73 cm)
     cfg = Configuration(volume_resolution=(SIZE,) * 3, volume_size=(4.8,) * 3,
-                        pyramid=(10, 5, 4), integration_rate=1,
+                        pyramid=(10, 5, 4), integration_rate=4,
                         block_capacity=6144)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
 
     fn = functools.partial(
         process_frame, field=slam.field, iterations=slam.iterations,
-        tracking_rate=1, integration_rate=1, bilateral=False,
+        tracking_rate=1, integration_rate=4, bilateral=False,
         icp_threshold=cfg.icp_threshold,
         use_gt=False, neg_y=False)
 

@@ -390,6 +390,8 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     else:
         hit, z_hit = f1.hit, f1.z_hit
 
+    z_half, hit_half = z_hit, hit          # pre-upsample (hybrid normals)
+    ref_extras = None
     if half_res:
         up = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
         hit = up(hit)
@@ -400,14 +402,37 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         # +-thickness linear band — at the old 3-step delta they were
         # usually clamped/truncated values, biasing the linear solve —
         # while still covering the surface-z spread across the 2x2 upsample
-        z_hit, hit = _refine(m, dense, field, origin, dirs, z_hit, hit,
-                             1.4 * fine_step)
+        delta = 1.4 * fine_step
+        z_hit, hit, rf_lo, rf_hi, rf_pair = _refine(
+            m, dense, field, origin, dirs, z_hit, hit, delta)
+        ref_extras = (rf_lo, rf_hi, rf_pair, delta)
 
     vertex = origin + dirs * z_hit[..., None]
     ray_norm = jnp.linalg.norm(dirs, axis=-1)
     t_hit = jnp.where(hit, z_hit * ray_norm, 0.0)
 
-    if normals == "image":
+    if normals == "hybrid" and half_res:
+        # half-res central-difference gradient (1/4 the taps), corrected
+        # per pixel with the along-ray derivative from the refine samples
+        # (already gathered): the lateral components are shared across the
+        # 2x2 upsample but the ray component is exact per pixel.
+        vert_h = origin + fd * z_half[..., None]
+        g_h = _grad6(m, dense, field, vert_h) * m.inverse_voxel_size
+        up3 = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+        g_m = up3(g_h)
+        rf_lo, rf_hi, rf_pair, delta = ref_extras
+        rhat = dirs / jnp.maximum(ray_norm, 1e-12)[..., None]
+        d_ray = (rf_hi - rf_lo) / (2.0 * delta * jnp.maximum(ray_norm,
+                                                             1e-12))
+        have = rf_pair & hit & up3(hit_half)
+        corr = jnp.where(have, d_ray - jnp.sum(g_m * rhat, -1), 0.0)
+        g_ = g_m + corr[..., None] * rhat
+        if field.invert_normals:
+            g_ = -g_
+        gn = jnp.linalg.norm(g_, axis=-1, keepdims=True)
+        normal = g_ / jnp.maximum(gn, 1e-12)
+        bad = ~hit | (gn[..., 0] == 0)
+    elif normals == "image":
         normal, bad = _image_normals(vertex, hit, dirs)
     elif normals == "forward3":
         # 3-tap forward difference: the solved vertex sits at the surface
@@ -485,7 +510,9 @@ def _refine(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta):
     denom = jnp.where(jnp.abs(denom) < 1e-12, -1e-12, denom)
     frac = (f_hi - field.surf_boundary) / denom
     z_new = z_hit + delta + 2.0 * delta * frac
-    return jnp.where(crossing, z_new, z_hit), hit & ~miss
+    # (f_lo, f_hi, pair) feed the hybrid normals' per-pixel along-ray
+    # derivative — already gathered, free to return
+    return jnp.where(crossing, z_new, z_hit), hit & ~miss, f_lo, f_hi, pair
 
 
 def _grad3(m: VoxelMap, dense, field, pos_world):

@@ -113,3 +113,24 @@ class TestSynthetic:
         assert len(poses) == 3
         d, _ = r.read(0)
         assert d.max() > 500   # something visible in mm
+
+
+def test_partitioned_map_roundtrip(tmp_path):
+    """Owner-partitioned maps serialise with their per-partition counters
+    and restore bit-identically."""
+    from supereight_tpu.core import octree
+    from supereight_tpu.core.octree import ChannelSpec
+    from supereight_tpu.io import serialise
+    m = octree.init(64, 4.8, (ChannelSpec("v", jnp.float32, 0.0, 0.0),),
+                    capacity=64, partitions=4)
+    wanted = jnp.zeros((8, 8, 8), bool).at[1, 2, 3].set(True) \
+        .at[7, 0, 0].set(True)
+    m = octree.allocate_block_mask(m, wanted)
+    path = str(tmp_path / "map.npz")
+    serialise.save_map(path, m)
+    m2 = serialise.load_map(path)
+    assert m2.partitions == 4
+    np.testing.assert_array_equal(np.asarray(m.part_counts),
+                                  np.asarray(m2.part_counts))
+    np.testing.assert_array_equal(np.asarray(m.block_index),
+                                  np.asarray(m2.block_index))

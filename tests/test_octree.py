@@ -239,3 +239,29 @@ class TestInterpMultiscale:
         a = float(octree.interp(m, "v", pos)[0])
         b = float(octree.interp_multiscale(m, "v", pos)[0])
         assert a == b
+
+
+class TestLargeMapStructural:
+    def test_2048_map_allocates_and_reads(self):
+        """2048^3 maps (the multi-host BASELINE config) work structurally:
+        block keys carry 8 bits/axis here (<=10-bit cap), the dense index
+        is 256^3, and allocation/get round-trip."""
+        from supereight_tpu.core.octree import ChannelSpec
+        m = octree.init(2048, 19.2,
+                        (ChannelSpec("v", jnp.float32, 0.0, 0.0),),
+                        capacity=64)
+        coords = jnp.asarray([[0, 0, 0], [255, 255, 255], [100, 7, 200]],
+                             jnp.int32)
+        m = octree.allocate_blocks(m, coords, jnp.ones(3, bool))
+        assert int(m.n_blocks) == 3
+        m = octree.set_voxels(m, "v", jnp.asarray([2047]),
+                              jnp.asarray([2047]), jnp.asarray([2047]),
+                              jnp.asarray([5.0]))
+        assert float(octree.get(m, "v", jnp.asarray([2047]),
+                                jnp.asarray([2047]),
+                                jnp.asarray([2047]))[0]) == 5.0
+        # key decode round-trips at the far corner
+        bc = np.asarray(octree.block_coords_table(m))
+        live = np.asarray(octree.slot_mask(m))
+        assert {tuple(c) for c in bc[live]} == \
+            {(0, 0, 0), (255, 255, 255), (100, 7, 200)}
