@@ -40,6 +40,35 @@ def save_triptych(path: str, depth_img, track_img, volume_img):
     plt.close(fig)
 
 
+def plot_trajectory(path: str, est_poses, gt_poses=None):
+    """Estimated (and ground-truth) trajectory top-down + height plot —
+    the headless stand-in for the reference GUI's live pose plots
+    (qcustomplot panels in `se_apps/qt/`)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    est = np.stack([np.asarray(T)[:3, 3] for T in est_poses])
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4))
+    ax1.plot(est[:, 0], est[:, 2], label="estimated")
+    if gt_poses is not None:
+        gt = np.stack([np.asarray(T)[:3, 3] for T in gt_poses[:len(est)]])
+        ax1.plot(gt[:, 0], gt[:, 2], "--", label="ground truth")
+        ax2.plot(gt[:, 1], "--", label="gt y")
+    ax1.set_xlabel("x [m]")
+    ax1.set_ylabel("z [m]")
+    ax1.set_title("trajectory (top-down)")
+    ax1.legend()
+    ax1.axis("equal")
+    ax2.plot(est[:, 1], label="est y")
+    ax2.set_xlabel("frame")
+    ax2.set_ylabel("y [m]")
+    ax2.set_title("height")
+    ax2.legend()
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-i", "--input-file", required=True)
@@ -69,14 +98,18 @@ def main(argv=None):
     n = len(reader)
     if args.max_frames:
         n = min(n, args.max_frames)
+    est_poses = []
     for frame in range(n):
         depth, _ = reader.read(frame)
-        slam.step(depth, k, frame,
-                  gt_pose=gt[frame] if gt is not None else None)
+        st = slam.step(depth, k, frame,
+                       gt_pose=gt[frame] if gt is not None else None)
+        est_poses.append(np.asarray(st.pose))
         if frame % args.rate == 0 and frame > 2:
             save_triptych(os.path.join(args.out_dir, f"frame_{frame:05d}.png"),
                           slam.renderDepth(), slam.renderTrack(),
                           slam.renderVolume())
+    plot_trajectory(os.path.join(args.out_dir, "trajectory.png"),
+                    est_poses, gt)
     print(f"wrote renders to {args.out_dir}")
     return 0
 
