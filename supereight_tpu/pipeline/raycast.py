@@ -1,25 +1,31 @@
-"""Surface raycasting: coarse-to-fine plane sweep over the dense store.
+"""Surface raycasting: splat bounds + short-window batched scan.
 
 Reference: `se_denseslam/src/rendering.cpp:50-90` (raycastKernel) +
 `se_core/include/se/ray_iterator.hpp` (hierarchical ESVO traversal) +
 the per-field marchers (`kfusion/rendering_impl.hpp:34-74`,
 `bfusion/rendering_impl.hpp:35-68`).
 
-TPU design v2 (gather-budgeted): the per-ray adaptive march (64+ dependent
-gather rounds) is replaced by a fixed two-phase sweep where every ray
-advances in lockstep:
+TPU design v3 (descriptor-budgeted; every random-gathered element costs
+~8-14 ns on this hardware regardless of table size):
 
-* phase 1 sweeps ~10-50 camera-depth planes over a min/max-pooled half-res
-  mip of the field, bracketing up to two candidate surface crossings per
-  ray (the mip plays the role of the ray_iterator's coarse skip: a pooled
-  texel containing any surface reads "inside").
-* phase 2 samples the full-res field finely across the bracket(s), detects
-  the reference's valid first crossing (weight==0 / unobserved samples
-  never produce crossings, mirroring `rendering_impl.hpp:49-53`), and
-  solves the linear zero crossing exactly like `rendering_impl.hpp:66`.
+* phase 1 (`_splat_bounds`): inside-containing blocks project into a small
+  image grid and scatter-min/max their camera depth — the ESVO iterator's
+  coarse skip for ~12k scattered descriptors instead of a mip plane sweep
+  (~770k gathered).
+* phase 2 (`_fine_scan`): each ray samples a short window from its splat
+  start in ONE batched gather; the reference's valid-first-crossing
+  semantics (weight==0 / unobserved samples never cross,
+  `rendering_impl.hpp:49-53`) run as a gather-free forward-fill (integer
+  cummax) plus the exact linear zero-crossing solve
+  (`rendering_impl.hpp:66`).  A compacted rescue scan covers the few rays
+  whose nearest block grazed without a crossing.
+* the fine scan runs at half ray resolution; a full-res re-solve INSIDE
+  the truncation band recovers per-pixel depth, then volume-gradient
+  normals (or the cheaper hybrid/image variants).
 
-Gather count: ~(P1 + 2*P2 + 6) per pixel (~40) instead of ~600, and each
-sweep step is one batched lookup over all rays.
+Fine-scan gather budget: ~15 samples/ray at half res + 2 refine + <=6
+gradient taps per pixel (~8 per full-res pixel) instead of the ~600
+dependent rounds of a hierarchical per-ray iterator.
 """
 
 from __future__ import annotations
@@ -253,10 +259,9 @@ def _fine_scan(m, dense, field, origin, dirs, z_start, span, n_samples,
     crossing position is the linear solve between the two bracketing valid
     samples (`rendering_impl.hpp:66`).
 
-    Batched: one gather over all (sample, ray) positions, forward-fill of
-    the last valid sample along the depth axis, then dense first-crossing
-    reductions (sequential fori_loops pay ~0.3 ms/iteration of loop
-    overhead on this backend; dense ops do not).
+    Batched: one gather over all (sample, ray) positions, a gather-free
+    forward-fill of the last valid sample along the depth axis, then dense
+    first-crossing reductions.
     """
     inv_vs = m.inverse_voxel_size
     dz = span / n_samples
@@ -320,9 +325,11 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     (phase 2) -> second window for rays whose first window grazed without a
     valid crossing -> full-res re-solve -> normals.
 
-    ``normals``: "volume" = 6-tap central difference in the field (the
-    reference's volume.grad); "image" = cross product of vertex-map
-    central differences (KinectFusion-style, zero volume gathers).
+    ``normals``: "volume" = 6-tap central difference in the field at full
+    resolution (the reference's volume.grad); "hybrid" = half-res 6-tap
+    gradient with a per-pixel along-ray correction from the refine samples
+    (1/4 the gradient taps); "image" / "forward3" = cheaper variants kept
+    as documented negative results (they break the ICP solve).
     """
     origin, dirs = ray_directions(view, H, W)
     if dense is None:
@@ -333,17 +340,20 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     vs = m.voxel_size
     thickness = field.mu if field.invert_normals else 2.0 * vs
     diag = 1.7320508 * BLOCK_SIDE * vs
-    # window: covers the splatted block's extent plus the band; step <= half
-    # the band thickness so no crossing between valid samples is skipped
+    # fine scan at half ray resolution when the image is dense enough (the
+    # full-res refine below then re-solves per pixel)
+    half_res = (H % 2 == 0) and (W % 2 == 0) and W >= 160
+    # window: covers the splatted block's extent plus the band; step half
+    # the band thickness.  (0.75 * thickness — the reference's largestep —
+    # was measured at +2 fps but ATE 1.73 -> 2.23 cm at -z1 and 2.53 ->
+    # 4.59 cm at the canonical -z4: the wider linear-solve baseline hurts
+    # more than the refine pass recovers.  Documented negative result.)
     fine_step = 0.5 * thickness
     fine_span = span_factor * diag + 2.0 * thickness
     n_fine = int(np.clip(np.ceil(fine_span / fine_step) + 1, 8, 48))
     fine_span = n_fine * fine_step
 
-    # fine scan at half ray resolution when the image is dense enough
-    # (a full-res re-solve below recovers per-pixel accuracy); the start
-    # depth comes from the ray's splat-grid cell
-    half_res = (H % 2 == 0) and (W % 2 == 0) and W >= 160
+    # the start depth comes from the ray's splat-grid cell
     if half_res:
         dirs_h = 0.25 * (dirs[0::2, 0::2] + dirs[1::2, 0::2]
                          + dirs[0::2, 1::2] + dirs[1::2, 1::2])
@@ -398,11 +408,12 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         z_hit = up(z_hit)
         # full-res validation + sub-step re-solve around the half-res z:
         # pixels whose own ray has no crossing there (silhouettes) drop out.
-        # delta = 1.4 steps (0.7 * thickness): both samples stay inside the
-        # +-thickness linear band — at the old 3-step delta they were
-        # usually clamped/truncated values, biasing the linear solve —
-        # while still covering the surface-z spread across the 2x2 upsample
-        delta = 1.4 * fine_step
+        # delta = 0.7 * thickness (decoupled from the scan stride): both
+        # samples stay inside the +-thickness linear band — at the original
+        # 3-step delta they were usually clamped/truncated values, biasing
+        # the linear solve (ATE 2.6 -> 1.73 cm when fixed) — while still
+        # covering the surface-z spread across the 2x2 upsample
+        delta = 0.7 * thickness
         z_hit, hit, rf_lo, rf_hi, rf_pair = _refine(
             m, dense, field, origin, dirs, z_hit, hit, delta)
         ref_extras = (rf_lo, rf_hi, rf_pair, delta)
@@ -537,17 +548,17 @@ def _grad3(m: VoxelMap, dense, field, pos_world):
 
 def _grad6(m: VoxelMap, dense, field, pos_world):
     """Central-difference gradient from 6 nearest-voxel taps (reads the
-    NaN-encoded view; NaN taps recover the raw init/empty value)."""
+    NaN-encoded view; NaN taps recover the raw init/empty value).  All six
+    taps go through ONE batched gather op."""
     inv_vs = m.inverse_voxel_size
     vol = dense["F"]
     spec = [c for c in m.channels if c.name == field.select_channel][0]
     base = pos_world * inv_vs
-    grads = []
-    for axis in range(3):
-        e = jnp.zeros((3,)).at[axis].set(1.0)
-        for sgn in (1.0, -1.0):
-            val, _ = _sample_volume(vol, base + sgn * e, m.size, spec.empty)
-            grads.append(jnp.nan_to_num(val, nan=spec.init))
-    g = jnp.stack([grads[0] - grads[1], grads[2] - grads[3],
-                   grads[4] - grads[5]], axis=-1)
+    offs = jnp.asarray([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                        [0, -1, 0], [0, 0, 1], [0, 0, -1]], jnp.float32)
+    pos6 = base[None] + offs.reshape((6,) + (1,) * (base.ndim - 1) + (3,))
+    vals, _ = _sample_volume(vol, pos6, m.size, spec.empty)
+    vals = jnp.nan_to_num(vals, nan=spec.init)
+    g = jnp.stack([vals[0] - vals[1], vals[2] - vals[3],
+                   vals[4] - vals[5]], axis=-1)
     return g * 0.5
