@@ -1,0 +1,87 @@
+"""Tool + infra coverage: perfstats, power, converters, viewer plots.
+
+Reference counterparts: `se_shared/perfstats.h`, `se_apps/PowerMonitor`,
+`se_tools/scene2raw.cpp` / `oni2raw.cpp`, the GUI's plot panels.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def test_perfstats_samples_and_summary():
+    from supereight_tpu.utils.perfstats import PerfStats
+    st = PerfStats()
+    for v in (0.01, 0.02, 0.03):
+        st.sample("tracking", v)
+    s = st.summary()
+    assert "tracking" in s
+    assert abs(st.mean("tracking") - 0.02) < 1e-9
+    assert st.min("tracking") == 0.01 and st.max("tracking") == 0.03
+    with st.timer("block"):
+        pass
+    assert len(st.results["block"]["data"]) == 1
+    # table dump has header + one row per sample
+    table = st.print_all_data()
+    assert table.splitlines()[0].startswith("tracking")
+    assert len(table.splitlines()) == 4
+
+
+def test_power_monitor_degrades_gracefully():
+    from supereight_tpu.utils.power import PowerMonitor
+    pm = PowerMonitor()
+    # no hwmon/RAPL in this container: must no-op, not raise
+    sample = pm.sample()
+    assert sample is None or isinstance(sample, dict)
+
+
+def test_scene2raw_roundtrip(tmp_path):
+    """ICL text depth -> .raw; euclidean ray lengths become planar z mm."""
+    from supereight_tpu.tools import scene2raw
+    from supereight_tpu.io import raw
+    d = tmp_path / "scene"
+    d.mkdir()
+    W, Hh = scene2raw.SCENE_W, scene2raw.SCENE_H
+    eu = np.full((Hh, W), 2.0, np.float32)
+    np.savetxt(d / "scene_00_0000.depth", eu.reshape(1, -1), fmt="%.4f")
+    out = str(tmp_path / "o.raw")
+    n = scene2raw.convert(str(d), out)
+    assert n == 1
+    r = raw.RawReader(out)
+    depth, _ = r.read(0)
+    # center pixel: euclidean == planar depth (ray through the axis)
+    assert abs(int(depth[Hh // 2, W // 2]) - 2000) <= 2
+    # corner pixel: planar z < euclidean length
+    assert int(depth[0, 0]) < 2000
+
+
+def test_oni2raw_pgm_packer(tmp_path):
+    from supereight_tpu.tools import oni2raw
+    from supereight_tpu.io import raw
+    d = tmp_path / "frames"
+    d.mkdir()
+    img = np.arange(40 * 30, dtype=np.uint16).reshape(30, 40) % 5000
+    for i in range(2):
+        with open(d / f"f{i:04d}.pgm", "wb") as f:
+            f.write(b"P5\n40 30\n65535\n")
+            f.write(img.byteswap().tobytes())
+    out = str(tmp_path / "o.raw")
+    n = oni2raw.frames_to_raw(str(d), out)
+    assert n == 2
+    r = raw.RawReader(out)
+    depth, _ = r.read(1)
+    assert depth.shape == (30, 40)
+    np.testing.assert_array_equal(depth, img)
+
+
+def test_viewer_plots(tmp_path):
+    from supereight_tpu.apps.viewer import save_triptych, plot_trajectory
+    img = np.zeros((24, 32, 4), np.uint8)
+    save_triptych(str(tmp_path / "t.png"), img, img, img)
+    poses = [np.eye(4, dtype=np.float32) for _ in range(5)]
+    for i, p in enumerate(poses):
+        p[0, 3] = 0.1 * i
+    plot_trajectory(str(tmp_path / "traj.png"), poses, poses)
+    assert os.path.getsize(tmp_path / "t.png") > 0
+    assert os.path.getsize(tmp_path / "traj.png") > 0
