@@ -33,6 +33,7 @@ def main():
     if "--normals" in sys.argv:
         normals = sys.argv[sys.argv.index("--normals") + 1]
     second_window = "--no-fine2" not in sys.argv
+    lazy_assoc = "--lazy-assoc" in sys.argv
 
     def _intflag(name, default):
         return int(sys.argv[sys.argv.index(name) + 1]) \
@@ -65,6 +66,7 @@ def main():
                         raycast_normals=normals,
                         raycast_second_window=second_window,
                         raycast_span_factor=span,
+                        icp_lazy_assoc=lazy_assoc,
                         field_type=field_name)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
@@ -74,7 +76,8 @@ def main():
                            integration_rate=int_rate, bilateral=False,
                            icp_threshold=cfg.icp_threshold,
                            use_gt=use_gt, neg_y=False, normals=normals,
-                           second_window=second_window, span_factor=span)
+                           second_window=second_window, span_factor=span,
+                           lazy_assoc=lazy_assoc)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -118,6 +121,7 @@ def main():
         "field": field_name,
         "mode": "gt" if use_gt else "icp",
         "normals": normals,
+        "lazy_assoc": lazy_assoc,
         "second_window": second_window,
         "span_factor": span,
         "integration_rate": int_rate,
@@ -134,6 +138,10 @@ def main():
     mode = "" if not use_gt else "_gt"
     if normals == "image":
         mode += "_imgn"
+    elif normals != "volume":
+        mode += f"_{normals}"
+    if lazy_assoc:
+        mode += "_la"
     if not second_window:
         mode += "_nf2"
     if int_rate != 1:

@@ -44,8 +44,12 @@ class Configuration:
     # --- TPU build extensions (not in the reference) ---
     block_capacity: Optional[int] = None   # max allocated blocks (None: auto)
     map_partitions: int = 1                # owner partitions (multi-device)
-    raycast_normals: str = "volume"        # "volume" (reference grad) | "image"
+    raycast_normals: str = "volume"        # "volume" (reference grad) |
+                                           # "stored" (precomputed table) |
+                                           # "hybrid" | "image" | "forward3"
     raycast_second_window: bool = True     # deep-surface rescue scan
+    icp_lazy_assoc: bool = False           # skip sub-pixel re-association
+                                           # gathers in the ICP loop
     raycast_span_factor: float = 1.6       # fine window: span*diag + 2*band
     max_alloc_per_frame: int = 8192        # candidate new blocks per frame
     raycast_coarse_samples: int = 96

@@ -39,6 +39,7 @@ import numpy as np
 
 from supereight_tpu.core import octree
 from supereight_tpu.core.octree import BLOCK_SIDE, VoxelMap
+from . import gradmap
 from .constants import INVALID
 
 
@@ -317,7 +318,8 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
             near: float, far: float, dense=None, *,
             normals: str = "volume",
             second_window: bool = True,
-            span_factor: float = 1.6) -> RaycastResult:
+            span_factor: float = 1.6,
+            grad_table=None) -> RaycastResult:
     """Full raycastKernel (`rendering.cpp:50-90`): vertex + normal maps.
 
     Pipeline: block-splat start depths (phase 1, ~12k scattered elements)
@@ -326,14 +328,21 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     valid crossing -> full-res re-solve -> normals.
 
     ``normals``: "volume" = 6-tap central difference in the field at full
-    resolution (the reference's volume.grad); "hybrid" = half-res 6-tap
-    gradient with a per-pixel along-ray correction from the refine samples
-    (1/4 the gradient taps); "image" / "forward3" = cheaper variants kept
-    as documented negative results (they break the ICP solve).
+    resolution (the reference's volume.grad); "stored" = precomputed
+    per-voxel gradient table (`gradmap.py`, 2 gather descriptors/pixel
+    instead of 6, plus a 1-sample Newton re-solve replacing the 2-sample
+    refine; pass ``grad_table`` from the pipeline cache, else it is built
+    here); "hybrid" = half-res 6-tap gradient with a per-pixel along-ray
+    correction from the refine samples (1/4 the gradient taps); "image" /
+    "forward3" = cheaper variants kept as documented negative results
+    (they break the ICP solve).
     """
     origin, dirs = ray_directions(view, H, W)
     if dense is None:
         dense = pack_view(m, field)
+    use_stored = normals == "stored"
+    if use_stored and grad_table is None:
+        grad_table = gradmap.build_table(m, field)
 
     tgrid, tmax_grid, g = _splat_bounds(m, field, view, H, W, near, far)
 
@@ -402,6 +411,7 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
 
     z_half, hit_half = z_hit, hit          # pre-upsample (hybrid normals)
     ref_extras = None
+    stored_g = None
     if half_res:
         up = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
         hit = up(hit)
@@ -414,15 +424,29 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         # the linear solve (ATE 2.6 -> 1.73 cm when fixed) — while still
         # covering the surface-z spread across the 2x2 upsample
         delta = 0.7 * thickness
-        z_hit, hit, rf_lo, rf_hi, rf_pair = _refine(
-            m, dense, field, origin, dirs, z_hit, hit, delta)
-        ref_extras = (rf_lo, rf_hi, rf_pair, delta)
+        if use_stored:
+            z_hit, hit, stored_g = _refine_newton(
+                m, grad_table, field, origin, dirs, z_hit, hit, delta)
+        else:
+            z_hit, hit, rf_lo, rf_hi, rf_pair = _refine(
+                m, dense, field, origin, dirs, z_hit, hit, delta)
+            ref_extras = (rf_lo, rf_hi, rf_pair, delta)
 
     vertex = origin + dirs * z_hit[..., None]
     ray_norm = jnp.linalg.norm(dirs, axis=-1)
     t_hit = jnp.where(hit, z_hit * ray_norm, 0.0)
 
-    if normals == "hybrid" and half_res:
+    if use_stored:
+        # gradient of the hit voxel from the precomputed table (shared with
+        # the Newton refine's gather when half_res)
+        if stored_g is None:
+            stored_g, _, _ = gradmap.sample(
+                m, grad_table, vertex * m.inverse_voxel_size)
+        g_ = -stored_g if field.invert_normals else stored_g
+        gn = jnp.linalg.norm(g_, axis=-1, keepdims=True)
+        normal = g_ / jnp.maximum(gn, 1e-12)
+        bad = ~hit | (gn[..., 0] == 0)
+    elif normals == "hybrid" and half_res:
         # half-res central-difference gradient (1/4 the taps), corrected
         # per pixel with the along-ray derivative from the refine samples
         # (already gathered): the lateral components are shared across the
@@ -524,6 +548,48 @@ def _refine(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta):
     # (f_lo, f_hi, pair) feed the hybrid normals' per-pixel along-ray
     # derivative — already gathered, free to return
     return jnp.where(crossing, z_new, z_hit), hit & ~miss, f_lo, f_hi, pair
+
+
+def _refine_newton(m: VoxelMap, grad_table, field, origin, dirs, z_hit,
+                   hit, delta):
+    """Full-res re-solve from ONE stored-table gather per pixel.
+
+    Replaces :func:`_refine`'s two field samples: the table row carries the
+    hit voxel's field value AND gradient (`gradmap.sample`, 2 descriptors),
+    so the per-pixel correction is a Newton step ``dz = -err / (g . dz)``
+    along the ray — exact inside the truncation band where the field is
+    linear — and the gradient is reused for the normals.  Validation
+    parity with `_refine`: a pixel whose own ray has the surface farther
+    than ``delta`` away (estimated from the same Newton step, or from
+    |g| when the along-ray slope is unusable) becomes a miss; unobserved
+    samples keep the fine-scan result.
+    """
+    inv_vs = m.inverse_voxel_size
+    pos = (origin + dirs * z_hit[..., None]) * inv_vs
+    g, f_mid, okv = gradmap.sample(m, grad_table, pos)
+    observed = okv & ~jnp.isnan(f_mid)
+    # f_mid is the value at the hit VOXEL CENTRE; first-order-correct it
+    # to the ray position with the stored gradient (without this the
+    # re-solve carries a systematic <=0.5-voxel surface bias: ATE 1.73 ->
+    # 5.2 cm at 256^3 when measured uncorrected)
+    off = pos - (jnp.floor(pos) + 0.5)
+    f_at = f_mid + jnp.sum(g * off, axis=-1)
+    err = jnp.where(observed, f_at - field.surf_boundary, 0.0)
+    # field-units-per-metre slope along the ray; crossing must run
+    # outside -> inside (decreasing for SDF, increasing for occupancy)
+    dfdz = jnp.sum(g * dirs, axis=-1) * inv_vs
+    inside_dir = -1.0 if field.invert_normals else 1.0
+    usable = observed & (inside_dir * dfdz > 1e-6)
+    dz_raw = -err / jnp.where(usable, dfdz, inside_dir)
+    # distance-to-surface estimate: along the ray when the slope is
+    # usable, else a normal-direction lower bound from |g|
+    gnorm = jnp.linalg.norm(g, axis=-1) * inv_vs
+    est_n = jnp.abs(err) / jnp.maximum(gnorm, 1e-6)
+    miss = jnp.where(usable, jnp.abs(dz_raw) > delta,
+                     observed & (est_n > delta))
+    dz = jnp.clip(dz_raw, -delta, delta)
+    z_new = jnp.where(usable & ~miss, z_hit + dz, z_hit)
+    return z_new, hit & ~miss, g
 
 
 def _grad3(m: VoxelMap, dense, field, pos_world):

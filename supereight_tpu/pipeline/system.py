@@ -25,7 +25,8 @@ from flax import struct
 from supereight_tpu.config import Configuration
 from supereight_tpu.core import octree
 from supereight_tpu.fields import make_field
-from . import camera, integration, preprocessing, raycast, rendering, tracking
+from . import (camera, gradmap, integration, preprocessing, raycast,
+               rendering, tracking)
 from .constants import FAR_PLANE, INVALID, NEAR_PLANE
 
 
@@ -40,6 +41,9 @@ class FrameState(struct.PyTreeNode):
     track_result: jnp.ndarray   # int32[H,W] ICP status image
     tracked: jnp.ndarray        # bool scalar
     integrated: jnp.ndarray     # bool scalar
+    #: precomputed per-voxel gradient/value table (gradmap.build_table),
+    #: refreshed at integration; None unless raycast_normals == "stored"
+    grad: Optional[jnp.ndarray] = None
 
 
 class DenseSLAMSystem:
@@ -76,7 +80,9 @@ class DenseSLAMSystem:
         self.state = init_state(self.size, self.dim, self.field,
                                 self.H, self.W, self.init_pose,
                                 capacity=capacity,
-                                partitions=config.map_partitions)
+                                partitions=config.map_partitions,
+                                grad_normals=(config.raycast_normals
+                                              == "stored"))
 
         self._step = jax.jit(
             functools.partial(
@@ -90,6 +96,7 @@ class DenseSLAMSystem:
                 normals=config.raycast_normals,
                 second_window=config.raycast_second_window,
                 span_factor=config.raycast_span_factor,
+                lazy_assoc=config.icp_lazy_assoc,
             ),
             static_argnames=("use_gt", "neg_y"))
         # (no donation here: callers may hold references to earlier states;
@@ -102,7 +109,8 @@ class DenseSLAMSystem:
             "tracking": jax.jit(functools.partial(
                 tracking_stage, field=self.field, iterations=self.iterations,
                 tracking_rate=config.tracking_rate,
-                icp_threshold=config.icp_threshold),
+                icp_threshold=config.icp_threshold,
+                lazy_assoc=config.icp_lazy_assoc),
                 static_argnames=("use_gt", "neg_y")),
             "integration": jax.jit(functools.partial(
                 integration_stage, field=self.field,
@@ -259,7 +267,8 @@ class DenseSLAMSystem:
 
 def init_state(size: int, dim: float, field, H: int, W: int,
                init_pose, capacity: Optional[int] = None,
-               partitions: int = 1) -> FrameState:
+               partitions: int = 1,
+               grad_normals: bool = False) -> FrameState:
     m = octree.init(size, dim, field.channels, capacity=capacity,
                     partitions=partitions)
     z3 = jnp.zeros((H, W, 3), jnp.float32)
@@ -275,6 +284,7 @@ def init_state(size: int, dim: float, field, H: int, W: int,
         track_result=jnp.zeros((H, W), jnp.int32),
         tracked=jnp.zeros((), bool),
         integrated=jnp.zeros((), bool),
+        grad=gradmap.empty_table(m.capacity) if grad_normals else None,
     )
 
 
@@ -297,7 +307,7 @@ def preprocessing_stage(state: FrameState, depth_mm, *,
 
 def tracking_stage(state: FrameState, k, frame, gt_pose, *, field,
                    iterations, tracking_rate, icp_threshold, use_gt: bool,
-                   neg_y: bool) -> FrameState:
+                   neg_y: bool, lazy_assoc: bool = False) -> FrameState:
     """tracking() (`DenseSLAMSystem.cpp:143-189`); ground-truth mode
     bypasses ICP like `mainQt.cpp:257-265`."""
     # NegY normal orientation follows fy < 0 (`DenseSLAMSystem.cpp:159-162`)
@@ -308,19 +318,23 @@ def tracking_stage(state: FrameState, k, frame, gt_pose, *, field,
         return state.replace(pose=gt_pose, tracked=jnp.ones((), bool))
 
     do_track = (frame % tracking_rate) == 0
-    new_pose, ok, td = tracking.track(
+    new_pose, ok, result = tracking.track(
         state.pose, depths, vertices, normals, state.ref_vertex,
-        state.ref_normal, state.raycast_pose, k, iterations, icp_threshold)
+        state.ref_normal, state.raycast_pose, k, iterations, icp_threshold,
+        lazy_assoc=lazy_assoc)
     return state.replace(
         pose=jnp.where(do_track, new_pose, state.pose),
         tracked=do_track & ok,
-        track_result=jnp.where(do_track, td.result, state.track_result))
+        track_result=jnp.where(do_track, result, state.track_result))
 
 
 def integration_stage(state: FrameState, k, frame, *, field,
                       integration_rate) -> FrameState:
     """integration() (`DenseSLAMSystem.cpp:206-268`): integrates when
-    tracked or during the bootstrap frames."""
+    tracked or during the bootstrap frames.  When the state carries a
+    gradient table (raycast_normals == "stored") it is rebuilt here — the
+    field only changes under this cond, so the raycaster's per-frame
+    normal source stays consistent for free between integrations."""
     do_integrate = (state.tracked | (frame <= 3)) & \
         (((frame % integration_rate) == 0) | (frame <= 3))
     K = camera.camera_matrix(k)
@@ -328,17 +342,22 @@ def integration_stage(state: FrameState, k, frame, *, field,
     float_depth = state.float_depth
     pose = state.pose
 
-    def integrate_fn(m):
+    def integrate_fn(arg):
+        m, grad = arg
         band = field.alloc_band()
         if field.multiscale_alloc:
             m = integration.allocate_ofusion(m, float_depth, pose, K, band)
         else:
             m = integration.allocate_sdf(m, float_depth, pose, K, band)
-        return integration.integrate(m, field, float_depth, pose, K,
-                                     timestamp=timestamp)
+        m = integration.integrate(m, field, float_depth, pose, K,
+                                  timestamp=timestamp)
+        if grad is not None:
+            grad = gradmap.build_table(m, field)
+        return m, grad
 
-    m = jax.lax.cond(do_integrate, integrate_fn, lambda m: m, state.map)
-    return state.replace(map=m, integrated=do_integrate)
+    m, grad = jax.lax.cond(do_integrate, integrate_fn, lambda a: a,
+                           (state.map, state.grad))
+    return state.replace(map=m, grad=grad, integrated=do_integrate)
 
 
 def raycasting_stage(state: FrameState, k, frame, *, field,
@@ -351,18 +370,19 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
     do_raycast = frame > 2
 
     def raycast_fn(args):
-        m, pose = args
+        m, pose, grad = args
         view = pose @ camera.inverse_camera_matrix(k)
         rc = raycast.raycast(m, field, view, H, W, NEAR_PLANE, FAR_PLANE,
                              normals=normals, second_window=second_window,
-                             span_factor=span_factor)
+                             span_factor=span_factor, grad_table=grad)
         return rc.vertex, rc.normal, pose
 
     def skip_fn(args):
         return state.ref_vertex, state.ref_normal, state.raycast_pose
 
     ref_vertex, ref_normal, raycast_pose = jax.lax.cond(
-        do_raycast, raycast_fn, skip_fn, (state.map, state.pose))
+        do_raycast, raycast_fn, skip_fn,
+        (state.map, state.pose, state.grad))
     return state.replace(ref_vertex=ref_vertex, ref_normal=ref_normal,
                          raycast_pose=raycast_pose)
 
@@ -372,14 +392,15 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   bilateral, icp_threshold, use_gt: bool,
                   neg_y: bool, normals: str = "volume",
                   second_window: bool = True,
-                  span_factor: float = 1.6) -> FrameState:
+                  span_factor: float = 1.6,
+                  lazy_assoc: bool = False) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
     state = tracking_stage(state, k, frame, gt_pose, field=field,
                            iterations=iterations, tracking_rate=tracking_rate,
                            icp_threshold=icp_threshold, use_gt=use_gt,
-                           neg_y=neg_y)
+                           neg_y=neg_y, lazy_assoc=lazy_assoc)
     state = integration_stage(state, k, frame, field=field,
                               integration_rate=integration_rate)
     return raycasting_stage(state, k, frame, field=field, normals=normals,

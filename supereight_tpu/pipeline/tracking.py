@@ -34,41 +34,38 @@ class TrackData(NamedTuple):
     J: jnp.ndarray        # f32[H, W, 6]
 
 
-def track_kernel(in_vertex, in_normal, ref_vertex, ref_normal,
-                 Ttrack, view,
-                 dist_threshold=DIST_THRESHOLD,
-                 normal_threshold=NORMAL_THRESHOLD) -> TrackData:
-    """Per-pixel projective data association (`tracking.cpp:226-302`).
-
-    ``in_*`` are level-resolution maps, ``ref_*`` full-resolution maps from
-    the last raycast; ``view`` = K @ inv(raycast_pose) at full resolution.
-    """
-    rH, rW = ref_vertex.shape[:2]
-
+def _project(Ttrack, view, in_vertex, rH, rW):
+    """Pose-dependent, gather-free half of the association: world-space
+    input vertices + their pixel coords in the reference frame."""
     proj_vertex = camera.transform_points(Ttrack, in_vertex)       # world
     proj_pos = camera.transform_points(view, proj_vertex)          # cam px
     z = proj_pos[..., 2]
     zsafe = jnp.where(z == 0, 1.0, z)
     px = proj_pos[..., 0] / zsafe + 0.5
     py = proj_pos[..., 1] / zsafe + 0.5
-
-    no_in_normal = in_normal[..., 0] == INVALID
     in_frame = (px >= 0) & (px <= rW - 1) & (py >= 0) & (py <= rH - 1)
+    return proj_vertex, px, py, in_frame
 
+
+def _gather_ref(ref_vertex, ref_normal, px, py, rH, rW):
+    """The association's ONE gathered op: 6-wide reference rows at the
+    projected pixels (per-row descriptor cost, width nearly free)."""
     ix = jnp.clip(px.astype(jnp.int32), 0, rW - 1)
     iy = jnp.clip(py.astype(jnp.int32), 0, rH - 1)
-    # one fused 6-wide row gather (association cost is per-row, not per-word)
     ref_vn = jnp.concatenate([ref_vertex, ref_normal], axis=-1)[iy, ix]
-    ref_v = ref_vn[..., :3]
-    ref_n = ref_vn[..., 3:]
+    return ref_vn[..., :3], ref_vn[..., 3:]
 
+
+def _residuals(proj_vertex, proj_normal, ref_v, ref_n, in_frame,
+               no_in_normal, dist_threshold, normal_threshold) -> TrackData:
+    """Dense residual/Jacobian/status math shared by the gathered and
+    frozen-association steps (`tracking.cpp:252-301`)."""
     no_ref_normal = ref_n[..., 0] == INVALID
     diff = ref_v - proj_vertex
-    proj_normal = camera.rotate_vectors(Ttrack, in_normal)
     too_far = jnp.linalg.norm(diff, axis=-1) > dist_threshold
     bad_normal = jnp.sum(proj_normal * ref_n, axis=-1) < normal_threshold
 
-    result = jnp.full(px.shape, 1, jnp.int32)
+    result = jnp.full(proj_vertex.shape[:-1], 1, jnp.int32)
     result = jnp.where(bad_normal, -5, result)
     result = jnp.where(too_far, -4, result)
     result = jnp.where(no_ref_normal, -3, result)
@@ -81,6 +78,25 @@ def track_kernel(in_vertex, in_normal, ref_vertex, ref_normal,
     return TrackData(result=result,
                      error=jnp.where(ok[..., 0], error, 0.0),
                      J=jnp.where(ok, J, 0.0))
+
+
+def track_kernel(in_vertex, in_normal, ref_vertex, ref_normal,
+                 Ttrack, view,
+                 dist_threshold=DIST_THRESHOLD,
+                 normal_threshold=NORMAL_THRESHOLD) -> TrackData:
+    """Per-pixel projective data association (`tracking.cpp:226-302`).
+
+    ``in_*`` are level-resolution maps, ``ref_*`` full-resolution maps from
+    the last raycast; ``view`` = K @ inv(raycast_pose) at full resolution.
+    """
+    rH, rW = ref_vertex.shape[:2]
+    proj_vertex, px, py, in_frame = _project(Ttrack, view, in_vertex,
+                                             rH, rW)
+    no_in_normal = in_normal[..., 0] == INVALID
+    ref_v, ref_n = _gather_ref(ref_vertex, ref_normal, px, py, rH, rW)
+    proj_normal = camera.rotate_vectors(Ttrack, in_normal)
+    return _residuals(proj_vertex, proj_normal, ref_v, ref_n, in_frame,
+                      no_in_normal, dist_threshold, normal_threshold)
 
 
 def reduce_kernel(td: TrackData):
@@ -117,37 +133,94 @@ class TrackState(NamedTuple):
     iteration: jnp.ndarray     # int32
 
 
-def _level_loop(state: TrackState, n_iters: int, in_vertex, in_normal,
-                ref_vertex, ref_normal, view, icp_threshold):
-    """`DenseSLAMSystem.cpp:173-185`: iterate track+reduce+update with early
-    exit on ||twist|| < icp_threshold, as one lax.while_loop."""
+#: lazy re-association: reuse the gathered rows while no projected pixel
+#: has moved more than this many pixels since the last gather
+_REASSOC_PX = 0.5
 
-    def cond(st: TrackState):
+
+def _level_loop(state: TrackState, n_iters: int, in_vertex, in_normal,
+                ref_vertex, ref_normal, view, icp_threshold,
+                lazy_assoc: bool):
+    """`DenseSLAMSystem.cpp:173-185`: iterate track+reduce+update with early
+    exit on ||twist|| < icp_threshold, as one lax.while_loop.
+
+    ``lazy_assoc``: skip the association's 6-wide row gather — the
+    iteration's entire descriptor cost — while every in-frame pixel has
+    moved less than ``_REASSOC_PX`` since the rows were last gathered
+    (the late, sub-pixel Gauss-Newton iterations; residuals/Jacobians are
+    still recomputed densely at the current pose).  Iteration semantics
+    are unchanged from the reference — only provably-(near-)identical
+    gathers are elided.  (An unconditional 2-GN-steps-per-association
+    variant was tried first and rejected: halving the association budget
+    doubled the pose error on the synthetic orbit.)
+
+    Returns (TrackState, result image at this level's resolution from the
+    last executed step) — the reference's trackingResult is likewise the
+    last trackKernel's output, not an extra pass.
+    """
+    rH, rW = ref_vertex.shape[:2]
+    no_in_normal = in_normal[..., 0] == INVALID
+
+    def cond(carry):
+        st = carry[0]
         return (st.iteration < n_iters) & ~st.converged
 
-    def body(st: TrackState):
-        td = track_kernel(in_vertex, in_normal, ref_vertex, ref_normal,
-                          st.pose, view)
+    def body(carry):
+        st, _, ref_v, ref_n, px_g, py_g, fresh = carry
+        proj_vertex, px, py, in_frame = _project(st.pose, view, in_vertex,
+                                                 rH, rW)
+        if lazy_assoc:
+            moved = jnp.where(in_frame & ~no_in_normal,
+                              jnp.maximum(jnp.abs(px - px_g),
+                                          jnp.abs(py - py_g)), 0.0)
+            need = ~fresh | (jnp.max(moved) > _REASSOC_PX)
+
+            def regather(_):
+                rv, rn = _gather_ref(ref_vertex, ref_normal, px, py,
+                                     rH, rW)
+                return rv, rn, px, py
+
+            ref_v, ref_n, px_g, py_g = jax.lax.cond(
+                need, regather,
+                lambda _: (ref_v, ref_n, px_g, py_g), None)
+        else:
+            ref_v, ref_n = _gather_ref(ref_vertex, ref_normal, px, py,
+                                       rH, rW)
+        proj_normal = camera.rotate_vectors(st.pose, in_normal)
+        td = _residuals(proj_vertex, proj_normal, ref_v, ref_n, in_frame,
+                        no_in_normal, DIST_THRESHOLD, NORMAL_THRESHOLD)
         error2, JTe, JTJ, count = reduce_kernel(td)
         x = solve_normal_equations(JTe, JTJ)
-        delta = camera.se3_exp(x)
-        pose = delta @ st.pose
+        pose = camera.se3_exp(x) @ st.pose
         converged = jnp.linalg.norm(x) < icp_threshold
-        return TrackState(pose=pose, error2=error2, count=count,
-                          converged=converged, iteration=st.iteration + 1)
+        return (TrackState(pose=pose, error2=error2, count=count,
+                           converged=converged, iteration=st.iteration + 1),
+                td.result, ref_v, ref_n, px_g, py_g,
+                jnp.ones((), bool))
 
-    st = jax.lax.while_loop(cond, body, state._replace(
-        converged=jnp.zeros((), bool), iteration=jnp.zeros((), jnp.int32)))
-    return st
+    lshape = in_vertex.shape[:-1]
+    init = (state._replace(converged=jnp.zeros((), bool),
+                           iteration=jnp.zeros((), jnp.int32)),
+            jnp.zeros(lshape, jnp.int32),
+            jnp.zeros(lshape + (3,), ref_vertex.dtype),
+            jnp.zeros(lshape + (3,), ref_normal.dtype),
+            jnp.zeros(lshape, jnp.float32),
+            jnp.zeros(lshape, jnp.float32),
+            jnp.zeros((), bool))
+    st, result = jax.lax.while_loop(cond, body, init)[:2]
+    return st, result
 
 
 def track(pose, depths, vertices, normals, ref_vertex, ref_normal,
           raycast_pose, k, iterations: Sequence[int],
           icp_threshold: float,
-          track_threshold: float = TRACK_THRESHOLD):
+          track_threshold: float = TRACK_THRESHOLD,
+          lazy_assoc: bool = False):
     """Full coarse-to-fine tracking (`DenseSLAMSystem.cpp:143-189`).
 
-    Returns (new_pose, tracked, TrackData at full res for renderTrack).
+    Returns (new_pose, tracked, result image at full res for renderTrack —
+    the last level-0 iteration's status codes, like the reference's
+    trackingResult buffer after the finest level).
     ``iterations`` e.g. (10, 5, 4): index = level, coarsest executed first.
     """
     view = camera.camera_matrix(k) @ jnp.linalg.inv(raycast_pose)
@@ -155,17 +228,15 @@ def track(pose, depths, vertices, normals, ref_vertex, ref_normal,
     st = TrackState(pose=pose, error2=jnp.zeros(()), count=jnp.zeros(()),
                     converged=jnp.zeros((), bool),
                     iteration=jnp.zeros((), jnp.int32))
+    result = None
     for level in range(len(iterations) - 1, -1, -1):
-        st = _level_loop(st, iterations[level], vertices[level],
-                         normals[level], ref_vertex, ref_normal, view,
-                         icp_threshold)
+        st, result = _level_loop(st, iterations[level], vertices[level],
+                                 normals[level], ref_vertex, ref_normal,
+                                 view, icp_threshold, lazy_assoc)
 
     # divergence check (`tracking.cpp:320-336`)
     H, W = vertices[0].shape[:2]
     rmse = jnp.sqrt(st.error2 / jnp.maximum(st.count, 1.0))
     ok = (rmse <= 2e-2) & (st.count / (H * W) >= track_threshold)
     new_pose = jnp.where(ok, st.pose, old_pose)
-
-    td = track_kernel(vertices[0], normals[0], ref_vertex, ref_normal,
-                      new_pose, view)
-    return new_pose, ok, td
+    return new_pose, ok, result

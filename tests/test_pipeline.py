@@ -83,6 +83,25 @@ class TestSDFPipeline:
         norms = np.linalg.norm(rn[valid], axis=-1)
         np.testing.assert_allclose(norms, 1.0, atol=1e-3)
 
+    def test_lazy_assoc_icp_converges(self, run):
+        """icp_lazy_assoc (sub-pixel iterations reuse the association
+        gather) must track the same sequence to the same gate as plain
+        ICP — the elided gathers are within 0.5 px of the reused rows."""
+        slam_b, states, poses, depths = run
+        cfg = Configuration(volume_resolution=(128,) * 3,
+                            volume_size=(DIM,) * 3, pyramid=(4, 3, 2),
+                            block_capacity=4096, integration_rate=1,
+                            icp_lazy_assoc=True)
+        slam = DenseSLAMSystem((H, W), cfg)
+        slam.setPose(poses[0])
+        for i in range(8):
+            st = slam.step(depths[i], K4, i)
+        assert bool(st.tracked)
+        err = np.linalg.norm(np.asarray(st.pose)[:3, 3] - poses[-1][:3, 3])
+        base = np.linalg.norm(
+            np.asarray(states[-1].pose)[:3, 3] - poses[-1][:3, 3])
+        assert err < max(0.1, 1.5 * base)
+
     def test_groundtruth_mode_bypasses_icp(self, run):
         depths, poses = make_seq(4, sweep=0.03)
         slam = make_slam()
