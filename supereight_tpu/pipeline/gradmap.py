@@ -10,11 +10,13 @@ largest line item of the raycast budget.
 TPU design: the field only changes at integration time (every
 ``integration_rate`` frames), so the gradient is a pure function of the
 map that can be computed ONCE per integration, densely over the brick
-table, and stored.  The raycast then reads gradient + field value of the
-hit voxel with 2 gather descriptors per pixel (block_index + one [4]-wide
-row) instead of 6 volume taps — and the stored value also powers a
-1-sample Newton refine (see `raycast.py`), replacing the 2-sample
-re-solve.
+table, and stored.  The raycast then reads the gradient of the refined
+hit voxel with 2 gather descriptors per pixel (block_index + one
+[4]-wide row) instead of 6 volume taps.  (The F component also fed a
+1-sample Newton depth re-solve in an earlier design; rejected — the
+pre-refine voxel can sit on the truncation plateau where the local
+tangent is unusable, ATE 1.73 -> 3.75 cm — the depth re-solve stays
+`raycast._refine`'s 2-sample secant.)
 
 Construction is gather-free inside a brick: the three axis shifts of the
 x-fastest ``l = x + 8y + 64z`` brick layout (`node.hpp:140-165`) are lane

@@ -330,9 +330,9 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     ``normals``: "volume" = 6-tap central difference in the field at full
     resolution (the reference's volume.grad); "stored" = precomputed
     per-voxel gradient table (`gradmap.py`, 2 gather descriptors/pixel
-    instead of 6, plus a 1-sample Newton re-solve replacing the 2-sample
-    refine; pass ``grad_table`` from the pipeline cache, else it is built
-    here); "hybrid" = half-res 6-tap gradient with a per-pixel along-ray
+    instead of 6, same taps; pass ``grad_table`` from the pipeline
+    cache, else it is built here); "hybrid" = half-res 6-tap gradient
+    with a per-pixel along-ray
     correction from the refine samples (1/4 the gradient taps); "image" /
     "forward3" = cheaper variants kept as documented negative results
     (they break the ICP solve).
@@ -411,7 +411,6 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
 
     z_half, hit_half = z_hit, hit          # pre-upsample (hybrid normals)
     ref_extras = None
-    stored_g = None
     if half_res:
         up = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
         hit = up(hit)
@@ -424,24 +423,24 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         # the linear solve (ATE 2.6 -> 1.73 cm when fixed) — while still
         # covering the surface-z spread across the 2x2 upsample
         delta = 0.7 * thickness
-        if use_stored:
-            z_hit, hit, stored_g = _refine_newton(
-                m, grad_table, field, origin, dirs, z_hit, hit, delta)
-        else:
-            z_hit, hit, rf_lo, rf_hi, rf_pair = _refine(
-                m, dense, field, origin, dirs, z_hit, hit, delta)
-            ref_extras = (rf_lo, rf_hi, rf_pair, delta)
+        z_hit, hit, rf_lo, rf_hi, rf_pair = _refine(
+            m, dense, field, origin, dirs, z_hit, hit, delta)
+        ref_extras = (rf_lo, rf_hi, rf_pair, delta)
 
     vertex = origin + dirs * z_hit[..., None]
     ray_norm = jnp.linalg.norm(dirs, axis=-1)
     t_hit = jnp.where(hit, z_hit * ray_norm, 0.0)
 
     if use_stored:
-        # gradient of the hit voxel from the precomputed table (shared with
-        # the Newton refine's gather when half_res)
-        if stored_g is None:
-            stored_g, _, _ = gradmap.sample(
-                m, grad_table, vertex * m.inverse_voxel_size)
+        # normals from the precomputed table at the REFINED vertex: 2
+        # gather descriptors/pixel vs _grad6's 6, numerically the same
+        # taps.  Depth keeps _refine's 2-sample secant re-solve — a
+        # 1-sample Newton step off the stored tangent was tried instead
+        # and rejected: the pre-refine voxel can sit on the truncation
+        # plateau where the tangent slope is unusable (ATE 1.73 -> 3.75
+        # at -z1 even with the Taylor correction).
+        stored_g, _, _ = gradmap.sample(
+            m, grad_table, vertex * m.inverse_voxel_size)
         g_ = -stored_g if field.invert_normals else stored_g
         gn = jnp.linalg.norm(g_, axis=-1, keepdims=True)
         normal = g_ / jnp.maximum(gn, 1e-12)
@@ -548,48 +547,6 @@ def _refine(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta):
     # (f_lo, f_hi, pair) feed the hybrid normals' per-pixel along-ray
     # derivative — already gathered, free to return
     return jnp.where(crossing, z_new, z_hit), hit & ~miss, f_lo, f_hi, pair
-
-
-def _refine_newton(m: VoxelMap, grad_table, field, origin, dirs, z_hit,
-                   hit, delta):
-    """Full-res re-solve from ONE stored-table gather per pixel.
-
-    Replaces :func:`_refine`'s two field samples: the table row carries the
-    hit voxel's field value AND gradient (`gradmap.sample`, 2 descriptors),
-    so the per-pixel correction is a Newton step ``dz = -err / (g . dz)``
-    along the ray — exact inside the truncation band where the field is
-    linear — and the gradient is reused for the normals.  Validation
-    parity with `_refine`: a pixel whose own ray has the surface farther
-    than ``delta`` away (estimated from the same Newton step, or from
-    |g| when the along-ray slope is unusable) becomes a miss; unobserved
-    samples keep the fine-scan result.
-    """
-    inv_vs = m.inverse_voxel_size
-    pos = (origin + dirs * z_hit[..., None]) * inv_vs
-    g, f_mid, okv = gradmap.sample(m, grad_table, pos)
-    observed = okv & ~jnp.isnan(f_mid)
-    # f_mid is the value at the hit VOXEL CENTRE; first-order-correct it
-    # to the ray position with the stored gradient (without this the
-    # re-solve carries a systematic <=0.5-voxel surface bias: ATE 1.73 ->
-    # 5.2 cm at 256^3 when measured uncorrected)
-    off = pos - (jnp.floor(pos) + 0.5)
-    f_at = f_mid + jnp.sum(g * off, axis=-1)
-    err = jnp.where(observed, f_at - field.surf_boundary, 0.0)
-    # field-units-per-metre slope along the ray; crossing must run
-    # outside -> inside (decreasing for SDF, increasing for occupancy)
-    dfdz = jnp.sum(g * dirs, axis=-1) * inv_vs
-    inside_dir = -1.0 if field.invert_normals else 1.0
-    usable = observed & (inside_dir * dfdz > 1e-6)
-    dz_raw = -err / jnp.where(usable, dfdz, inside_dir)
-    # distance-to-surface estimate: along the ray when the slope is
-    # usable, else a normal-direction lower bound from |g|
-    gnorm = jnp.linalg.norm(g, axis=-1) * inv_vs
-    est_n = jnp.abs(err) / jnp.maximum(gnorm, 1e-6)
-    miss = jnp.where(usable, jnp.abs(dz_raw) > delta,
-                     observed & (est_n > delta))
-    dz = jnp.clip(dz_raw, -delta, delta)
-    z_new = jnp.where(usable & ~miss, z_hit + dz, z_hit)
-    return z_new, hit & ~miss, g
 
 
 def _grad3(m: VoxelMap, dense, field, pos_world):

@@ -150,9 +150,17 @@ def _level_loop(state: TrackState, n_iters: int, in_vertex, in_normal,
     (the late, sub-pixel Gauss-Newton iterations; residuals/Jacobians are
     still recomputed densely at the current pose).  Iteration semantics
     are unchanged from the reference — only provably-(near-)identical
-    gathers are elided.  (An unconditional 2-GN-steps-per-association
-    variant was tried first and rejected: halving the association budget
-    doubled the pose error on the synthetic orbit.)
+    gathers are elided.
+
+    MEASURED NEGATIVE (kept off by default, bench_data/ate_icp_256_la
+    records): ATE exactly neutral (the elided gathers really were
+    identical — 1.73 cm, bit-same trajectory), but 40.2 -> 30.5 fps at
+    256^3/-z1 and 56.0 -> 42.2 at -z4 with stored normals: the
+    ``lax.cond`` + extra carries inside the hot while_loop cost this
+    backend far more than the ~77k elided descriptors save.  An
+    unconditional 2-GN-steps-per-association variant was also tried and
+    rejected: halving the association budget doubled the pose error on
+    the synthetic orbit.
 
     Returns (TrackState, result image at this level's resolution from the
     last executed step) — the reference's trackingResult is likewise the
