@@ -34,6 +34,8 @@ def main():
         normals = sys.argv[sys.argv.index("--normals") + 1]
     second_window = "--no-fine2" not in sys.argv
     lazy_assoc = "--lazy-assoc" in sys.argv
+    refine = sys.argv[sys.argv.index("--refine") + 1] \
+        if "--refine" in sys.argv else "secant"
 
     def _intflag(name, default):
         return int(sys.argv[sys.argv.index(name) + 1]) \
@@ -66,6 +68,7 @@ def main():
                         raycast_normals=normals,
                         raycast_second_window=second_window,
                         raycast_span_factor=span,
+                        raycast_refine=refine,
                         icp_lazy_assoc=lazy_assoc,
                         field_type=field_name)
     slam = DenseSLAMSystem((H, W), cfg)
@@ -77,7 +80,7 @@ def main():
                            icp_threshold=cfg.icp_threshold,
                            use_gt=use_gt, neg_y=False, normals=normals,
                            second_window=second_window, span_factor=span,
-                           lazy_assoc=lazy_assoc)
+                           refine=refine, lazy_assoc=lazy_assoc)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -124,6 +127,7 @@ def main():
         "lazy_assoc": lazy_assoc,
         "second_window": second_window,
         "span_factor": span,
+        "refine": refine,
         "integration_rate": int_rate,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
@@ -142,6 +146,8 @@ def main():
         mode += f"_{normals}"
     if lazy_assoc:
         mode += "_la"
+    if refine != "secant":
+        mode += "_pl"
     if not second_window:
         mode += "_nf2"
     if int_rate != 1:

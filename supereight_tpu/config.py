@@ -51,6 +51,10 @@ class Configuration:
     icp_lazy_assoc: bool = False           # skip sub-pixel re-association
                                            # gathers in the ICP loop
     raycast_span_factor: float = 1.6       # fine window: span*diag + 2*band
+    raycast_refine: str = "secant"         # full-res re-solve: "secant"
+                                           # (2-sample field re-solve) |
+                                           # "plane" (gather-free stored-
+                                           # normal plane intersection)
     max_alloc_per_frame: int = 8192        # candidate new blocks per frame
     raycast_coarse_samples: int = 96
     raycast_fine_samples: int = 16

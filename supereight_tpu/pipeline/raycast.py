@@ -319,7 +319,8 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
             normals: str = "volume",
             second_window: bool = True,
             span_factor: float = 1.6,
-            grad_table=None) -> RaycastResult:
+            grad_table=None,
+            refine: str = "secant") -> RaycastResult:
     """Full raycastKernel (`rendering.cpp:50-90`): vertex + normal maps.
 
     Pipeline: block-splat start depths (phase 1, ~12k scattered elements)
@@ -336,6 +337,15 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     correction from the refine samples (1/4 the gradient taps); "image" /
     "forward3" = cheaper variants kept as documented negative results
     (they break the ICP solve).
+
+    ``refine``: full-res re-solve flavour when the fine scan ran at half
+    resolution.  "secant" = `_refine`'s 2-sample field re-solve (the
+    reference-faithful default); "plane" (requires stored normals) =
+    gather-free ray/plane intersection against the half-res hit's stored
+    surface plane — zero refine descriptors; observedness validation
+    folds into the per-pixel normal gather (an unobserved/unallocated
+    landing voxel yields a zero gradient -> invalid normal, which the
+    ICP's -3 status already rejects).
     """
     origin, dirs = ray_directions(view, H, W)
     if dense is None:
@@ -423,9 +433,30 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         # the linear solve (ATE 2.6 -> 1.73 cm when fixed) — while still
         # covering the surface-z spread across the 2x2 upsample
         delta = 0.7 * thickness
-        z_hit, hit, rf_lo, rf_hi, rf_pair = _refine(
-            m, dense, field, origin, dirs, z_hit, hit, delta)
-        ref_extras = (rf_lo, rf_hi, rf_pair, delta)
+        if use_stored and refine == "plane":
+            # gather-free per-pixel re-solve: intersect each full-res ray
+            # with the surface plane at its parent half-res hit (stored
+            # normal there: one 2-descriptor gather per HALF-res ray).
+            # Valid exactly where _refine's linear solve is: the field is
+            # locally planar inside the band.
+            vert_h = origin + fd * z_half[..., None]
+            g_h, _, _ = gradmap.sample(m, grad_table,
+                                       vert_h * m.inverse_voxel_size)
+            up3 = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
+            n_f = up3(g_h)
+            v_f = up3(vert_h)
+            denom = jnp.sum(dirs * n_f, axis=-1)
+            numer = jnp.sum((v_f - origin) * n_f, axis=-1)
+            okp = jnp.abs(denom) > 1e-9
+            z_pl = jnp.where(okp, numer / jnp.where(okp, denom, 1.0),
+                             z_hit)
+            # stay inside the refine window around the parent depth
+            z_hit = jnp.where(hit, jnp.clip(z_pl, z_hit - delta,
+                                            z_hit + delta), z_hit)
+        else:
+            z_hit, hit, rf_lo, rf_hi, rf_pair = _refine(
+                m, dense, field, origin, dirs, z_hit, hit, delta)
+            ref_extras = (rf_lo, rf_hi, rf_pair, delta)
 
     vertex = origin + dirs * z_hit[..., None]
     ray_norm = jnp.linalg.norm(dirs, axis=-1)

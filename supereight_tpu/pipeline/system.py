@@ -96,6 +96,7 @@ class DenseSLAMSystem:
                 normals=config.raycast_normals,
                 second_window=config.raycast_second_window,
                 span_factor=config.raycast_span_factor,
+                refine=config.raycast_refine,
                 lazy_assoc=config.icp_lazy_assoc,
             ),
             static_argnames=("use_gt", "neg_y"))
@@ -119,7 +120,8 @@ class DenseSLAMSystem:
                 raycasting_stage, field=self.field,
                 normals=config.raycast_normals,
                 second_window=config.raycast_second_window,
-                span_factor=config.raycast_span_factor)),
+                span_factor=config.raycast_span_factor,
+                refine=config.raycast_refine)),
         }
 
     # ---- reference-parity accessors ----
@@ -363,7 +365,8 @@ def integration_stage(state: FrameState, k, frame, *, field,
 def raycasting_stage(state: FrameState, k, frame, *, field,
                      normals: str = "volume",
                      second_window: bool = True,
-                     span_factor: float = 1.6) -> FrameState:
+                     span_factor: float = 1.6,
+                     refine: str = "secant") -> FrameState:
     """raycasting() (`DenseSLAMSystem.cpp:191-204`): refresh the reference
     model maps from the current pose (only after the bootstrap frames)."""
     H, W = state.float_depth.shape
@@ -374,7 +377,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
         view = pose @ camera.inverse_camera_matrix(k)
         rc = raycast.raycast(m, field, view, H, W, NEAR_PLANE, FAR_PLANE,
                              normals=normals, second_window=second_window,
-                             span_factor=span_factor, grad_table=grad)
+                             span_factor=span_factor, grad_table=grad,
+                             refine=refine)
         return rc.vertex, rc.normal, pose
 
     def skip_fn(args):
@@ -393,6 +397,7 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   neg_y: bool, normals: str = "volume",
                   second_window: bool = True,
                   span_factor: float = 1.6,
+                  refine: str = "secant",
                   lazy_assoc: bool = False) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
@@ -405,4 +410,4 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                               integration_rate=integration_rate)
     return raycasting_stage(state, k, frame, field=field, normals=normals,
                             second_window=second_window,
-                            span_factor=span_factor)
+                            span_factor=span_factor, refine=refine)

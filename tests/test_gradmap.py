@@ -153,6 +153,36 @@ class TestStoredNormalsRaycast:
                                    np.asarray(rv.t_hit)[both], atol=0.1)
 
 
+class TestPlaneRefine:
+    def test_wall_depth_matches_secant(self):
+        """refine='plane' (gather-free stored-normal plane intersection)
+        vs the secant re-solve, at a resolution that triggers the
+        half-res fine scan (W>=160).  On a planar wall both re-solves
+        are exact, so depths/normals must agree and land on the wall."""
+        from tests.test_raycast import _wall_map
+        m, field = _wall_map()
+        Hr, Wr = 120, 160
+        k = jnp.asarray([100.0, 100.0, Wr / 2.0, Hr / 2.0], jnp.float32)
+        pose = jnp.eye(4).at[:3, 3].set(
+            jnp.asarray([DIM / 2, DIM / 2, 0.6]))
+        view = pose @ camera.inverse_camera_matrix(k)
+        rs = raycast.raycast(m, field, view, Hr, Wr, 0.1, 8.0,
+                             normals="stored", refine="secant")
+        rp = raycast.raycast(m, field, view, Hr, Wr, 0.1, 8.0,
+                             normals="stored", refine="plane")
+        hs = np.asarray(rs.t_hit) > 0
+        hp = np.asarray(rp.t_hit) > 0
+        both = hs & hp
+        assert both.sum() > 0.9 * hs.sum()
+        # the plane solve is exact on a planar SDF: vertices sit on the wall
+        vz = np.asarray(rp.vertex)[..., 2][both]
+        np.testing.assert_allclose(vz, 3.0, atol=VS)
+        np.testing.assert_allclose(np.asarray(rp.t_hit)[both],
+                                   np.asarray(rs.t_hit)[both], atol=0.06)
+        np.testing.assert_allclose(np.asarray(rp.normal)[both][:, 2], 1.0,
+                                   atol=0.05)
+
+
 class TestStoredPipeline:
     def test_icp_tracks_with_stored_normals(self):
         """End-to-end: the fused pipeline with raycast_normals='stored'
