@@ -46,6 +46,7 @@ def main():
     capacity = _intflag("--capacity", 12288)
     nf = _intflag("--frames", 96)
     int_rate = _intflag("--int-rate", 1)
+    rc_rate = _intflag("--rc-rate", 1)
 
     import jax
     import jax.numpy as jnp
@@ -69,6 +70,7 @@ def main():
                         raycast_second_window=second_window,
                         raycast_span_factor=span,
                         raycast_refine=refine,
+                        raycast_rate=rc_rate,
                         icp_lazy_assoc=lazy_assoc,
                         field_type=field_name)
     slam = DenseSLAMSystem((H, W), cfg)
@@ -80,7 +82,8 @@ def main():
                            icp_threshold=cfg.icp_threshold,
                            use_gt=use_gt, neg_y=False, normals=normals,
                            second_window=second_window, span_factor=span,
-                           refine=refine, lazy_assoc=lazy_assoc)
+                           refine=refine, raycast_rate=rc_rate,
+                           lazy_assoc=lazy_assoc)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -129,6 +132,7 @@ def main():
         "span_factor": span,
         "refine": refine,
         "integration_rate": int_rate,
+        "raycast_rate": rc_rate,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
         "ate_max_m": round(ate["max"], 4),
@@ -150,6 +154,8 @@ def main():
         mode += "_pl"
     if not second_window:
         mode += "_nf2"
+    if rc_rate != 1:
+        mode += f"_rr{rc_rate}"
     if int_rate != 1:
         mode += f"_z{int_rate}"
     path = os.path.join(here,

@@ -54,7 +54,14 @@ class Configuration:
     raycast_refine: str = "secant"         # full-res re-solve: "secant"
                                            # (2-sample field re-solve) |
                                            # "plane" (gather-free stored-
-                                           # normal plane intersection)
+                                           # normal plane intersection;
+                                           # measured negative: ATE 2.8->7.2
+                                           # at -z4, bench_data/*_pl*)
+    raycast_rate: int = 1                  # refresh the reference model
+                                           # maps every Nth frame (1 =
+                                           # reference behavior: every
+                                           # frame); ICP tracks against the
+                                           # last refresh via raycast_pose
     max_alloc_per_frame: int = 8192        # candidate new blocks per frame
     raycast_coarse_samples: int = 96
     raycast_fine_samples: int = 16

@@ -97,6 +97,7 @@ class DenseSLAMSystem:
                 second_window=config.raycast_second_window,
                 span_factor=config.raycast_span_factor,
                 refine=config.raycast_refine,
+                raycast_rate=config.raycast_rate,
                 lazy_assoc=config.icp_lazy_assoc,
             ),
             static_argnames=("use_gt", "neg_y"))
@@ -121,7 +122,8 @@ class DenseSLAMSystem:
                 normals=config.raycast_normals,
                 second_window=config.raycast_second_window,
                 span_factor=config.raycast_span_factor,
-                refine=config.raycast_refine)),
+                refine=config.raycast_refine,
+                raycast_rate=config.raycast_rate)),
         }
 
     # ---- reference-parity accessors ----
@@ -366,11 +368,19 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                      normals: str = "volume",
                      second_window: bool = True,
                      span_factor: float = 1.6,
-                     refine: str = "secant") -> FrameState:
+                     refine: str = "secant",
+                     raycast_rate: int = 1) -> FrameState:
     """raycasting() (`DenseSLAMSystem.cpp:191-204`): refresh the reference
-    model maps from the current pose (only after the bootstrap frames)."""
+    model maps from the current pose (only after the bootstrap frames).
+
+    ``raycast_rate`` > 1 refreshes every Nth frame only (TPU extension:
+    the ICP association already tracks against ``raycast_pose``, so the
+    maps may lag the camera by a few frames; bootstrap frames <=5 always
+    refresh so tracking starts from a fresh model)."""
     H, W = state.float_depth.shape
     do_raycast = frame > 2
+    if raycast_rate > 1:
+        do_raycast &= ((frame % raycast_rate) == 0) | (frame <= 5)
 
     def raycast_fn(args):
         m, pose, grad = args
@@ -398,6 +408,7 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   second_window: bool = True,
                   span_factor: float = 1.6,
                   refine: str = "secant",
+                  raycast_rate: int = 1,
                   lazy_assoc: bool = False) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
@@ -410,4 +421,5 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                               integration_rate=integration_rate)
     return raycasting_stage(state, k, frame, field=field, normals=normals,
                             second_window=second_window,
-                            span_factor=span_factor, refine=refine)
+                            span_factor=span_factor, refine=refine,
+                            raycast_rate=raycast_rate)

@@ -83,6 +83,28 @@ class TestSDFPipeline:
         norms = np.linalg.norm(rn[valid], axis=-1)
         np.testing.assert_allclose(norms, 1.0, atol=1e-3)
 
+    def test_raycast_rate_2_still_tracks(self, run):
+        """raycast_rate=2 (reference-map refresh every other frame): ICP
+        tracks against the lagged maps via raycast_pose; pose error stays
+        within the same gate as every-frame refresh."""
+        slam, states, poses, depths = run
+        cfg = Configuration(volume_resolution=(128,) * 3,
+                            volume_size=(DIM,) * 3, pyramid=(4, 3, 2),
+                            block_capacity=4096, integration_rate=1,
+                            raycast_rate=2)
+        s2 = DenseSLAMSystem((H, W), cfg)
+        s2.setPose(poses[0])
+        for i in range(8):
+            st = s2.step(depths[i], K4, i)
+        assert bool(st.tracked)
+        err = np.linalg.norm(np.asarray(st.pose)[:3, 3] - poses[-1][:3, 3])
+        assert err < 0.1
+        # the skipped frames really kept the old maps: raycast_pose lags
+        # pose on an odd frame
+        st7 = s2.state
+        assert not np.allclose(np.asarray(st7.raycast_pose),
+                               np.asarray(st7.pose))
+
     def test_lazy_assoc_icp_converges(self, run):
         """icp_lazy_assoc (sub-pixel iterations reuse the association
         gather) must track the same sequence to the same gate as plain
