@@ -80,6 +80,17 @@ def rotate_vectors(T, v):
     return jnp.einsum("ij,...j->...i", T[:3, :3], v)
 
 
+def inverse_pose(T) -> jnp.ndarray:
+    """Closed-form SE(3) inverse ``[R^T, -R^T t]`` (cheaper and better
+    conditioned than a general 4x4 inverse)."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    Ti = jnp.eye(4, dtype=jnp.float32)
+    Ti = Ti.at[:3, :3].set(R.T)
+    Ti = Ti.at[:3, 3].set(-R.T @ t)
+    return Ti
+
+
 def pose_from_translation(t) -> jnp.ndarray:
     T = jnp.eye(4, dtype=jnp.float32)
     return T.at[:3, 3].set(jnp.asarray(t, jnp.float32))

@@ -39,7 +39,7 @@ import numpy as np
 
 from supereight_tpu.core import octree
 from supereight_tpu.core.octree import BLOCK_SIDE, VoxelMap
-from . import gradmap
+from . import camera, gradmap
 from .constants import INVALID
 
 
@@ -171,7 +171,7 @@ def _sample_volume(vol, pos_vox, size, fill):
 
 
 def _splat_bounds(m: VoxelMap, field, view, H: int, W: int,
-                  near: float, far: float):
+                  near: float, far: float, inside_any=None):
     """Phase 1: per-ray start depth by splatting inside-containing blocks.
 
     Replaces the ESVO ray_iterator's coarse skip (`ray_iterator.hpp`) AND
@@ -203,8 +203,9 @@ def _splat_bounds(m: VoxelMap, field, view, H: int, W: int,
     px = hom[:, 0] / zsafe
     py = hom[:, 1] / zsafe
 
-    raw = m.voxels[field.select_channel].astype(jnp.float32)
-    inside_any = jnp.any(field.is_inside(raw), axis=1)
+    if inside_any is None:
+        raw = m.voxels[field.select_channel].astype(jnp.float32)
+        inside_any = jnp.any(field.is_inside(raw), axis=1)
     diag = 1.7320508 * BLOCK_SIDE * vs
     # pixel footprint margin: blocks slightly off-screen still cover border
     # pixels; the min-pool below covers up to 2 cells of spread
@@ -320,7 +321,9 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
             second_window: bool = True,
             span_factor: float = 1.6,
             grad_table=None,
-            refine: str = "secant") -> RaycastResult:
+            refine: str = "secant",
+            inside_any=None,
+            row_range=None) -> RaycastResult:
     """Full raycastKernel (`rendering.cpp:50-90`): vertex + normal maps.
 
     Pipeline: block-splat start depths (phase 1, ~12k scattered elements)
@@ -346,6 +349,15 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     folds into the per-pixel normal gather (an unobserved/unallocated
     landing voxel yields a zero gradient -> invalid normal, which the
     ICP's -3 status already rejects).
+
+    ``inside_any`` (bool[capacity], optional): precomputed per-slot
+    inside-voxel flags for the splat phase — lets a distributed caller
+    (parallel/raycast_dist.py) avoid touching ``m.voxels`` so the brick
+    table can stay sharded.  ``row_range = (r0, nrows)`` restricts the
+    per-ray phases (fine scan, refine, normals) to an image-row strip;
+    r0 may be traced (a mesh axis_index), nrows must be static.  The
+    splat grid is still computed for the full image (cheap dense math);
+    with the half-res fine scan both r0 and nrows must be even.
     """
     origin, dirs = ray_directions(view, H, W)
     if dense is None:
@@ -354,7 +366,8 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     if use_stored and grad_table is None:
         grad_table = gradmap.build_table(m, field)
 
-    tgrid, tmax_grid, g = _splat_bounds(m, field, view, H, W, near, far)
+    tgrid, tmax_grid, g = _splat_bounds(m, field, view, H, W, near, far,
+                                        inside_any=inside_any)
 
     vs = m.voxel_size
     thickness = field.mu if field.invert_normals else 2.0 * vs
@@ -387,6 +400,16 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
                                                            :fd.shape[1]]
     active = jnp.isfinite(t0)
     z_start = jnp.clip(jnp.where(active, t0, near), near, far)
+
+    if row_range is not None:
+        r0, nr = row_range
+        f = 2 if half_res else 1
+        sl = lambda a, s0, n: jax.lax.dynamic_slice_in_dim(a, s0, n, 0)
+        dirs = sl(dirs, r0, nr)
+        fd = sl(fd, r0 // f, nr // f)
+        z_start = sl(z_start, r0 // f, nr // f)
+        active = sl(active, r0 // f, nr // f)
+        t1 = sl(t1, r0 // f, nr // f)
 
     f1 = _fine_scan(m, dense, field, origin, fd, z_start, fine_span,
                     n_fine, active)
@@ -526,6 +549,47 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
                                jnp.zeros_like(normal[..., 1:])], axis=-1)
     normal = jnp.where(bad[..., None], invalid, normal)
     return RaycastResult(vertex=vertex, normal=normal, t_hit=t_hit)
+
+
+def warp_maps(vertex, normal, view, H: int, W: int):
+    """Forward-warp world-space reference maps to a new viewpoint.
+
+    ``view`` = K @ inv(new_pose).  Splats every valid map point into the
+    new image plane with a z-buffer (scatter-min), then scatters the
+    winners' 6-wide vertex+normal rows in one fat-row scatter.  Pixels no
+    point lands on (disocclusions, frame borders entering view) stay
+    invalid and are skipped by the ICP association (result -3), exactly
+    like raycast misses.
+
+    This is the TPU-native stand-in for re-raycasting the model every
+    frame (`DenseSLAMSystem.cpp:191-204`) when ``raycast_rate`` skips a
+    frame: 3 x H*W random-access descriptors (~2-3 ms at 320x240 on v5e)
+    versus a full sweep raycast (~11 ms), while keeping the reference
+    maps aligned to the *current* viewpoint so association coverage does
+    not rot with camera motion (measured: stale maps at raycast_rate=2
+    cost ATE 2.81 -> 4.16 cm; see bench_data/ate_icp_256_stored_rr2*).
+    """
+    HW = H * W
+    v = vertex.reshape(HW, 3)
+    n = normal.reshape(HW, 3)
+    p = camera.transform_points(view, v)
+    z = p[:, 2]
+    valid = (n[:, 0] != INVALID) & (z > 1e-4) & jnp.isfinite(z)
+    zsafe = jnp.where(valid, z, 1.0)
+    # same nearest-pixel convention as the ICP association (_project)
+    ix = jnp.floor(p[:, 0] / zsafe + 0.5).astype(jnp.int32)
+    iy = jnp.floor(p[:, 1] / zsafe + 0.5).astype(jnp.int32)
+    ok = valid & (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+    lin = jnp.where(ok, iy * W + ix, HW)          # HW = dump slot
+
+    zbuf = jnp.full((HW + 1,), jnp.inf, jnp.float32)
+    zbuf = zbuf.at[lin].min(jnp.where(ok, z, jnp.inf))
+    win = ok & (z <= zbuf[lin])
+    rows = jnp.concatenate([v, n], axis=1)
+    buf = jnp.zeros((HW + 1, 6), jnp.float32).at[:, 3].set(INVALID)
+    buf = buf.at[jnp.where(win, lin, HW)].set(rows)
+    out = buf[:HW]
+    return out[:, :3].reshape(H, W, 3), out[:, 3:].reshape(H, W, 3)
 
 
 def _image_normals(vertex, hit, dirs):

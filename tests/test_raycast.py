@@ -134,3 +134,67 @@ class TestCrossingExactness:
         view, _ = _front_view()
         rc = raycast.raycast(m2, field, view, H, W, 0.4, 4.0)
         assert (np.asarray(rc.t_hit) > 0).mean() < 0.05
+
+
+class TestWarpMaps:
+    """Forward-warp of reference maps (`raycast.warp_maps`) — the cheap
+    viewpoint refresh used by raycast_rate>1 + raycast_warp."""
+
+    def _make_maps(self, H=48, W=64):
+        fx, fy, cx, cy = 50.0, 50.0, W / 2.0, H / 2.0
+        k = jnp.asarray([fx, fy, cx, cy], jnp.float32)
+        jj, ii = np.meshgrid(np.arange(W), np.arange(H))
+        d = 2.0 + 0.3 * np.sin(ii * 0.2) * np.cos(jj * 0.15)
+        x = (jj - cx) / fx * d
+        y = (ii - cy) / fy * d
+        pc = np.stack([x, y, d], axis=-1).astype(np.float32)
+        # camera pose: small rotation + translation
+        tw = np.deg2rad(4.0)
+        R = np.array([[np.cos(tw), 0, np.sin(tw)],
+                      [0, 1, 0],
+                      [-np.sin(tw), 0, np.cos(tw)]], np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = [0.3, -0.1, 0.2]
+        vw = pc @ R.T + T[:3, 3]
+        nw = np.tile(np.asarray(-R[:, 2], np.float32), (H, W, 1))
+        return (jnp.asarray(vw), jnp.asarray(nw), jnp.asarray(T), k, H, W)
+
+    def test_identity_warp_reproduces_maps(self):
+        vw, nw, T, k, H, W = self._make_maps()
+        view = camera.camera_matrix(k) @ camera.inverse_pose(T)
+        wv, wn = raycast.warp_maps(vw, nw, view, H, W)
+        np.testing.assert_allclose(np.asarray(wv), np.asarray(vw),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(wn), np.asarray(nw),
+                                   atol=1e-6)
+
+    def test_shifted_warp_properties(self):
+        vw, nw, T, k, H, W = self._make_maps()
+        # mark a block of source pixels invalid: they must never appear
+        nw = nw.at[10:14, 20:30, 0].set(-2.0)
+        T2 = np.asarray(T).copy()
+        T2[:3, 3] += [0.05, 0.02, -0.04]
+        view = camera.camera_matrix(k) @ camera.inverse_pose(jnp.asarray(T2))
+        wv, wn = raycast.warp_maps(vw, nw, view, H, W)
+        wv_n, wn_n = np.asarray(wv), np.asarray(wn)
+        valid = wn_n[..., 0] != -2.0
+        assert valid.mean() > 0.7
+        # every valid output row is an exact copy of some valid source row
+        src = np.concatenate([np.asarray(vw), np.asarray(nw)],
+                             axis=-1).reshape(-1, 6)
+        src_valid = src[src[:, 3] != -2.0]
+        out = np.concatenate([wv_n, wn_n], axis=-1)[valid]
+        # match via lookup on the vertex triplet
+        import collections
+        pool = collections.Counter(map(tuple, src_valid.round(5)))
+        for row in out.round(5):
+            assert tuple(row) in pool
+        # winners reproject to their own pixel under the NEW view
+        Kv = np.asarray(camera.camera_matrix(k))
+        Ti = np.asarray(camera.inverse_pose(jnp.asarray(T2)))
+        pc = (wv_n[valid] @ Ti[:3, :3].T + Ti[:3, 3]) @ Kv[:3, :3].T
+        px = np.floor(pc[:, 0] / pc[:, 2] + 0.5).astype(int)
+        py = np.floor(pc[:, 1] / pc[:, 2] + 0.5).astype(int)
+        iy, ix = np.nonzero(valid)
+        assert (px == ix).all() and (py == iy).all()

@@ -212,3 +212,63 @@ class TestShardedAllocation:
                                              dim=4.8, band=0.2, decim=1)
         np.testing.assert_array_equal(np.asarray(sharded),
                                       np.asarray(direct))
+
+
+class TestShardedRaycast:
+    def test_frustum_exchange_matches_single(self, frames):
+        """Frustum-limited brick exchange + strip-sharded raycast
+        (parallel/raycast_dist.py) == single-device raycast."""
+        from supereight_tpu.parallel import raycast_dist
+        from supereight_tpu.pipeline import camera, raycast
+        from supereight_tpu.pipeline.constants import FAR_PLANE, NEAR_PLANE
+
+        depths, poses = frames
+        slam, fn = build()
+        state = slam.state
+        step = jax.jit(fn)
+        for i, d in enumerate(depths):
+            state = step(state, jnp.asarray(d), jnp.asarray(K4),
+                         jnp.asarray(i, jnp.int32), jnp.asarray(poses[i]))
+        view = state.pose @ camera.inverse_camera_matrix(jnp.asarray(K4))
+
+        # jit the baseline too: the CPU backend's eager-vs-jit fusion
+        # differences (FMA in the secant solve) dwarf the exchange's zero
+        rc = jax.jit(lambda mm, vv: raycast.raycast(
+            mm, slam.field, vv, H, W, NEAR_PLANE, FAR_PLANE))(
+                state.map, view)
+
+        mesh = make_mesh(8)
+        dist_fn = raycast_dist.sharded_raycast(
+            mesh, slam.field, H, W, NEAR_PLANE, FAR_PLANE,
+            max_visible_per_device=256)
+        v, n, t, dropped = jax.jit(dist_fn)(state.map, view)
+
+        assert int(np.asarray(dropped).sum()) == 0
+        np.testing.assert_allclose(np.asarray(t), np.asarray(rc.t_hit),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(rc.vertex),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(n), np.asarray(rc.normal),
+                                   atol=1e-4)
+
+    def test_budget_overflow_reported(self, frames):
+        """A too-small exchange budget reports dropped blocks instead of
+        silently truncating."""
+        from supereight_tpu.parallel import raycast_dist
+        from supereight_tpu.pipeline import camera
+        from supereight_tpu.pipeline.constants import FAR_PLANE, NEAR_PLANE
+
+        depths, poses = frames
+        slam, fn = build()
+        state = slam.state
+        step = jax.jit(fn)
+        for i, d in enumerate(depths):
+            state = step(state, jnp.asarray(d), jnp.asarray(K4),
+                         jnp.asarray(i, jnp.int32), jnp.asarray(poses[i]))
+        view = state.pose @ camera.inverse_camera_matrix(jnp.asarray(K4))
+        mesh = make_mesh(8)
+        dist_fn = raycast_dist.sharded_raycast(
+            mesh, slam.field, H, W, NEAR_PLANE, FAR_PLANE,
+            max_visible_per_device=2)
+        *_, dropped = jax.jit(dist_fn)(state.map, view)
+        assert int(np.asarray(dropped).sum()) > 0
