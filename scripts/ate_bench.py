@@ -47,6 +47,7 @@ def main():
     nf = _intflag("--frames", 96)
     int_rate = _intflag("--int-rate", 1)
     rc_rate = _intflag("--rc-rate", 1)
+    warp = "--warp" in sys.argv and rc_rate > 1
 
     import jax
     import jax.numpy as jnp
@@ -71,6 +72,7 @@ def main():
                         raycast_span_factor=span,
                         raycast_refine=refine,
                         raycast_rate=rc_rate,
+                        raycast_warp=warp,
                         icp_lazy_assoc=lazy_assoc,
                         field_type=field_name)
     slam = DenseSLAMSystem((H, W), cfg)
@@ -83,7 +85,7 @@ def main():
                            use_gt=use_gt, neg_y=False, normals=normals,
                            second_window=second_window, span_factor=span,
                            refine=refine, raycast_rate=rc_rate,
-                           lazy_assoc=lazy_assoc)
+                           warp=warp, lazy_assoc=lazy_assoc)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -133,6 +135,7 @@ def main():
         "refine": refine,
         "integration_rate": int_rate,
         "raycast_rate": rc_rate,
+        "raycast_warp": warp,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
         "ate_max_m": round(ate["max"], 4),
@@ -156,6 +159,8 @@ def main():
         mode += "_nf2"
     if rc_rate != 1:
         mode += f"_rr{rc_rate}"
+        if warp:
+            mode += "w"
     if int_rate != 1:
         mode += f"_z{int_rate}"
     path = os.path.join(here,

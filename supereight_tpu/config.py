@@ -62,6 +62,11 @@ class Configuration:
                                            # reference behavior: every
                                            # frame); ICP tracks against the
                                            # last refresh via raycast_pose
+    raycast_warp: bool = False             # with raycast_rate > 1: forward-
+                                           # warp (z-buffer splat) the last
+                                           # pristine raycast to the current
+                                           # pose on skipped frames instead
+                                           # of leaving the maps stale
     max_alloc_per_frame: int = 8192        # candidate new blocks per frame
     raycast_coarse_samples: int = 96
     raycast_fine_samples: int = 16

@@ -44,6 +44,12 @@ class FrameState(struct.PyTreeNode):
     #: precomputed per-voxel gradient/value table (gradmap.build_table),
     #: refreshed at integration; None unless raycast_normals == "stored"
     grad: Optional[jnp.ndarray] = None
+    #: pristine maps from the last true raycast — the warp source when
+    #: raycast_warp is on (warping always from the pristine maps bounds
+    #: resampling error to one splat regardless of raycast_rate); None
+    #: unless config.raycast_warp
+    rc_vertex: Optional[jnp.ndarray] = None
+    rc_normal: Optional[jnp.ndarray] = None
 
 
 class DenseSLAMSystem:
@@ -82,7 +88,9 @@ class DenseSLAMSystem:
                                 capacity=capacity,
                                 partitions=config.map_partitions,
                                 grad_normals=(config.raycast_normals
-                                              == "stored"))
+                                              == "stored"),
+                                warp=(config.raycast_warp and
+                                      config.raycast_rate > 1))
 
         self._step = jax.jit(
             functools.partial(
@@ -98,6 +106,7 @@ class DenseSLAMSystem:
                 span_factor=config.raycast_span_factor,
                 refine=config.raycast_refine,
                 raycast_rate=config.raycast_rate,
+                warp=config.raycast_warp,
                 lazy_assoc=config.icp_lazy_assoc,
             ),
             static_argnames=("use_gt", "neg_y"))
@@ -123,7 +132,8 @@ class DenseSLAMSystem:
                 second_window=config.raycast_second_window,
                 span_factor=config.raycast_span_factor,
                 refine=config.raycast_refine,
-                raycast_rate=config.raycast_rate)),
+                raycast_rate=config.raycast_rate,
+                warp=config.raycast_warp)),
         }
 
     # ---- reference-parity accessors ----
@@ -272,7 +282,8 @@ class DenseSLAMSystem:
 def init_state(size: int, dim: float, field, H: int, W: int,
                init_pose, capacity: Optional[int] = None,
                partitions: int = 1,
-               grad_normals: bool = False) -> FrameState:
+               grad_normals: bool = False,
+               warp: bool = False) -> FrameState:
     m = octree.init(size, dim, field.channels, capacity=capacity,
                     partitions=partitions)
     z3 = jnp.zeros((H, W, 3), jnp.float32)
@@ -289,6 +300,12 @@ def init_state(size: int, dim: float, field, H: int, W: int,
         tracked=jnp.zeros((), bool),
         integrated=jnp.zeros((), bool),
         grad=gradmap.empty_table(m.capacity) if grad_normals else None,
+        # distinct buffers, NOT z3/invalid_n: donating a state whose two
+        # leaves share one device buffer is an INVALID_ARGUMENT on TPU
+        # (the bench scan donates the whole FrameState)
+        rc_vertex=jnp.zeros((H, W, 3), jnp.float32) if warp else None,
+        rc_normal=(jnp.zeros((H, W, 3), jnp.float32).at[..., 0]
+                   .set(INVALID)) if warp else None,
     )
 
 
@@ -369,18 +386,54 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                      second_window: bool = True,
                      span_factor: float = 1.6,
                      refine: str = "secant",
-                     raycast_rate: int = 1) -> FrameState:
+                     raycast_rate: int = 1,
+                     warp: bool = False) -> FrameState:
     """raycasting() (`DenseSLAMSystem.cpp:191-204`): refresh the reference
     model maps from the current pose (only after the bootstrap frames).
 
     ``raycast_rate`` > 1 refreshes every Nth frame only (TPU extension:
     the ICP association already tracks against ``raycast_pose``, so the
     maps may lag the camera by a few frames; bootstrap frames <=5 always
-    refresh so tracking starts from a fresh model)."""
+    refresh so tracking starts from a fresh model).  With ``warp`` the
+    skipped frames forward-warp the last pristine raycast to the current
+    pose (``raycast.warp_maps``) instead of leaving the maps stale, so
+    the ICP association keeps current-viewpoint coverage at a fraction
+    of the raycast cost."""
     H, W = state.float_depth.shape
     do_raycast = frame > 2
     if raycast_rate > 1:
         do_raycast &= ((frame % raycast_rate) == 0) | (frame <= 5)
+
+    if warp and raycast_rate > 1:
+        def raycast_fn(args):
+            m, pose, grad, _rc_v, _rc_n = args
+            view = pose @ camera.inverse_camera_matrix(k)
+            rc = raycast.raycast(m, field, view, H, W, NEAR_PLANE,
+                                 FAR_PLANE, normals=normals,
+                                 second_window=second_window,
+                                 span_factor=span_factor, grad_table=grad,
+                                 refine=refine)
+            return rc.vertex, rc.normal, pose
+
+        def warp_fn(args):
+            _m, pose, _grad, rc_v, rc_n = args
+            view = camera.camera_matrix(k) @ camera.inverse_pose(pose)
+            wv, wn = raycast.warp_maps(rc_v, rc_n, view, H, W)
+            return wv, wn, pose
+
+        # the cond returns only the (possibly warped) reference maps; the
+        # pristine copies update via selects OUTSIDE the cond — returning
+        # the same array twice from a cond branch (aliased outputs) makes
+        # the TPU runtime reject the donated-scan program
+        ref_vertex, ref_normal, raycast_pose = jax.lax.cond(
+            do_raycast, raycast_fn, warp_fn,
+            (state.map, state.pose, state.grad,
+             state.rc_vertex, state.rc_normal))
+        rc_v = jnp.where(do_raycast, ref_vertex, state.rc_vertex)
+        rc_n = jnp.where(do_raycast, ref_normal, state.rc_normal)
+        return state.replace(rc_vertex=rc_v, rc_normal=rc_n,
+                             ref_vertex=ref_vertex, ref_normal=ref_normal,
+                             raycast_pose=raycast_pose)
 
     def raycast_fn(args):
         m, pose, grad = args
@@ -409,6 +462,7 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   span_factor: float = 1.6,
                   refine: str = "secant",
                   raycast_rate: int = 1,
+                  warp: bool = False,
                   lazy_assoc: bool = False) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
@@ -422,4 +476,4 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
     return raycasting_stage(state, k, frame, field=field, normals=normals,
                             second_window=second_window,
                             span_factor=span_factor, refine=refine,
-                            raycast_rate=raycast_rate)
+                            raycast_rate=raycast_rate, warp=warp)
