@@ -48,6 +48,7 @@ def main():
     int_rate = _intflag("--int-rate", 1)
     rc_rate = _intflag("--rc-rate", 1)
     warp = "--warp" in sys.argv and rc_rate > 1
+    icp_decim = _intflag("--icp-decim", 1)
 
     import jax
     import jax.numpy as jnp
@@ -74,6 +75,7 @@ def main():
                         raycast_rate=rc_rate,
                         raycast_warp=warp,
                         icp_lazy_assoc=lazy_assoc,
+                        icp_finest_decimate=icp_decim,
                         field_type=field_name)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
@@ -85,7 +87,8 @@ def main():
                            use_gt=use_gt, neg_y=False, normals=normals,
                            second_window=second_window, span_factor=span,
                            refine=refine, raycast_rate=rc_rate,
-                           warp=warp, lazy_assoc=lazy_assoc)
+                           warp=warp, lazy_assoc=lazy_assoc,
+                           finest_decimate=icp_decim)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -136,6 +139,7 @@ def main():
         "integration_rate": int_rate,
         "raycast_rate": rc_rate,
         "raycast_warp": warp,
+        "icp_finest_decimate": icp_decim,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
         "ate_max_m": round(ate["max"], 4),
@@ -161,6 +165,8 @@ def main():
         mode += f"_rr{rc_rate}"
         if warp:
             mode += "w"
+    if icp_decim != 1:
+        mode += f"_id{icp_decim}"
     if int_rate != 1:
         mode += f"_z{int_rate}"
     path = os.path.join(here,

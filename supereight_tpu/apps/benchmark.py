@@ -56,6 +56,16 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--staged", action="store_true",
                    help="one dispatch per stage: fills the per-stage TSV "
                         "columns (slower than the fused default)")
+    # TPU-extension raycast knobs (Configuration extras; reference has no
+    # equivalents — its raycast runs every frame at one fidelity)
+    p.add_argument("--raycast-rate", type=int, default=1,
+                   help="refresh reference maps every Nth frame")
+    p.add_argument("--warp", action="store_true",
+                   help="with --raycast-rate>1: forward-warp the maps to "
+                        "the current pose on skipped frames")
+    p.add_argument("--normals", default="volume",
+                   choices=("volume", "stored", "hybrid", "image",
+                            "forward3"))
     return p.parse_args(argv)
 
 
@@ -91,6 +101,9 @@ def main(argv=None):
         icp_threshold=args.icp_threshold,
         bilateral_filter=args.bilateral_filter,
         field_type=args.field,
+        raycast_rate=args.raycast_rate,
+        raycast_warp=args.warp,
+        raycast_normals=args.normals,
     )
 
     gt_poses = None

@@ -50,6 +50,10 @@ class Configuration:
     raycast_second_window: bool = True     # deep-surface rescue scan
     icp_lazy_assoc: bool = False           # skip sub-pixel re-association
                                            # gathers in the ICP loop
+    icp_finest_decimate: int = 1           # stride the finest ICP level's
+                                           # input maps (2 = quarter the
+                                           # association descriptors of
+                                           # the costliest level)
     raycast_span_factor: float = 1.6       # fine window: span*diag + 2*band
     raycast_refine: str = "secant"         # full-res re-solve: "secant"
                                            # (2-sample field re-solve) |
@@ -66,7 +70,10 @@ class Configuration:
                                            # warp (z-buffer splat) the last
                                            # pristine raycast to the current
                                            # pose on skipped frames instead
-                                           # of leaving the maps stale
+                                           # of leaving the maps stale.
+                                           # MEASURED NEGATIVE for ICP ATE
+                                           # (see raycast.warp_maps); keep
+                                           # off for tracking
     max_alloc_per_frame: int = 8192        # candidate new blocks per frame
     raycast_coarse_samples: int = 96
     raycast_fine_samples: int = 16

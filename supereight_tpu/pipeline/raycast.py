@@ -564,10 +564,19 @@ def warp_maps(vertex, normal, view, H: int, W: int):
     This is the TPU-native stand-in for re-raycasting the model every
     frame (`DenseSLAMSystem.cpp:191-204`) when ``raycast_rate`` skips a
     frame: 3 x H*W random-access descriptors (~2-3 ms at 320x240 on v5e)
-    versus a full sweep raycast (~11 ms), while keeping the reference
-    maps aligned to the *current* viewpoint so association coverage does
-    not rot with camera motion (measured: stale maps at raycast_rate=2
-    cost ATE 2.81 -> 4.16 cm; see bench_data/ate_icp_256_stored_rr2*).
+    versus a full sweep raycast (~11 ms).
+
+    MEASURED NEGATIVE for ICP tracking quality (off by default,
+    bench_data/ate_icp_256_stored_rr*w records): warped maps track WORSE
+    than simply keeping the stale maps (rr2 -z1: 2.66 stale vs 4.01 cm
+    warped; rr2 -z4: 4.16 vs 4.21) — the association then composes two
+    nearest-pixel quantizations (splat binning + lookup binning) and
+    loses constraints to splat holes, which costs more than the fresher
+    viewpoint buys.  The rr-ATE loss itself is NOT viewpoint staleness
+    (warp fixes that and recovers nothing): tracking several frames
+    against the same reference point set simply re-anchors less often.
+    The kernel remains useful for free-view preview rendering at
+    interactive rates.
     """
     HW = H * W
     v = vertex.reshape(HW, 3)

@@ -108,6 +108,7 @@ class DenseSLAMSystem:
                 raycast_rate=config.raycast_rate,
                 warp=config.raycast_warp,
                 lazy_assoc=config.icp_lazy_assoc,
+                finest_decimate=config.icp_finest_decimate,
             ),
             static_argnames=("use_gt", "neg_y"))
         # (no donation here: callers may hold references to earlier states;
@@ -121,7 +122,8 @@ class DenseSLAMSystem:
                 tracking_stage, field=self.field, iterations=self.iterations,
                 tracking_rate=config.tracking_rate,
                 icp_threshold=config.icp_threshold,
-                lazy_assoc=config.icp_lazy_assoc),
+                lazy_assoc=config.icp_lazy_assoc,
+                finest_decimate=config.icp_finest_decimate),
                 static_argnames=("use_gt", "neg_y")),
             "integration": jax.jit(functools.partial(
                 integration_stage, field=self.field,
@@ -328,7 +330,8 @@ def preprocessing_stage(state: FrameState, depth_mm, *,
 
 def tracking_stage(state: FrameState, k, frame, gt_pose, *, field,
                    iterations, tracking_rate, icp_threshold, use_gt: bool,
-                   neg_y: bool, lazy_assoc: bool = False) -> FrameState:
+                   neg_y: bool, lazy_assoc: bool = False,
+                   finest_decimate: int = 1) -> FrameState:
     """tracking() (`DenseSLAMSystem.cpp:143-189`); ground-truth mode
     bypasses ICP like `mainQt.cpp:257-265`."""
     # NegY normal orientation follows fy < 0 (`DenseSLAMSystem.cpp:159-162`)
@@ -342,7 +345,7 @@ def tracking_stage(state: FrameState, k, frame, gt_pose, *, field,
     new_pose, ok, result = tracking.track(
         state.pose, depths, vertices, normals, state.ref_vertex,
         state.ref_normal, state.raycast_pose, k, iterations, icp_threshold,
-        lazy_assoc=lazy_assoc)
+        lazy_assoc=lazy_assoc, finest_decimate=finest_decimate)
     return state.replace(
         pose=jnp.where(do_track, new_pose, state.pose),
         tracked=do_track & ok,
@@ -463,14 +466,16 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   refine: str = "secant",
                   raycast_rate: int = 1,
                   warp: bool = False,
-                  lazy_assoc: bool = False) -> FrameState:
+                  lazy_assoc: bool = False,
+                  finest_decimate: int = 1) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
     state = tracking_stage(state, k, frame, gt_pose, field=field,
                            iterations=iterations, tracking_rate=tracking_rate,
                            icp_threshold=icp_threshold, use_gt=use_gt,
-                           neg_y=neg_y, lazy_assoc=lazy_assoc)
+                           neg_y=neg_y, lazy_assoc=lazy_assoc,
+                           finest_decimate=finest_decimate)
     state = integration_stage(state, k, frame, field=field,
                               integration_rate=integration_rate)
     return raycasting_stage(state, k, frame, field=field, normals=normals,

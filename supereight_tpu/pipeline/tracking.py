@@ -223,13 +223,22 @@ def track(pose, depths, vertices, normals, ref_vertex, ref_normal,
           raycast_pose, k, iterations: Sequence[int],
           icp_threshold: float,
           track_threshold: float = TRACK_THRESHOLD,
-          lazy_assoc: bool = False):
+          lazy_assoc: bool = False,
+          finest_decimate: int = 1):
     """Full coarse-to-fine tracking (`DenseSLAMSystem.cpp:143-189`).
 
     Returns (new_pose, tracked, result image at full res for renderTrack —
     the last level-0 iteration's status codes, like the reference's
     trackingResult buffer after the finest level).
     ``iterations`` e.g. (10, 5, 4): index = level, coarsest executed first.
+
+    ``finest_decimate`` (TPU extension): stride the FINEST level's input
+    maps by this factor.  The finest level runs the most iterations over
+    the most pixels — the frame's single biggest descriptor sink (~77k
+    association rows x up to iterations[0] passes at 320x240).  A stride-2
+    level still solves 6 DOF from ~19k point-to-plane constraints; the
+    reference maps stay full resolution, so the gathered reference points
+    keep full angular density.
     """
     view = camera.camera_matrix(k) @ jnp.linalg.inv(raycast_pose)
     old_pose = pose
@@ -237,14 +246,21 @@ def track(pose, depths, vertices, normals, ref_vertex, ref_normal,
                     converged=jnp.zeros((), bool),
                     iteration=jnp.zeros((), jnp.int32))
     result = None
+    d = finest_decimate
     for level in range(len(iterations) - 1, -1, -1):
-        st, result = _level_loop(st, iterations[level], vertices[level],
-                                 normals[level], ref_vertex, ref_normal,
+        iv, inm = vertices[level], normals[level]
+        if level == 0 and d > 1:
+            iv, inm = iv[::d, ::d], inm[::d, ::d]
+        st, result = _level_loop(st, iterations[level], iv, inm,
+                                 ref_vertex, ref_normal,
                                  view, icp_threshold, lazy_assoc)
 
-    # divergence check (`tracking.cpp:320-336`)
-    H, W = vertices[0].shape[:2]
+    # divergence check (`tracking.cpp:320-336`); pixel fraction over the
+    # finest level actually executed
+    n_px = result.shape[0] * result.shape[1]
     rmse = jnp.sqrt(st.error2 / jnp.maximum(st.count, 1.0))
-    ok = (rmse <= 2e-2) & (st.count / (H * W) >= track_threshold)
+    ok = (rmse <= 2e-2) & (st.count / n_px >= track_threshold)
     new_pose = jnp.where(ok, st.pose, old_pose)
+    if d > 1:   # full-res status image for renderTrack / the TSV log
+        result = jnp.repeat(jnp.repeat(result, d, 0), d, 1)
     return new_pose, ok, result

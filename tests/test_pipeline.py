@@ -128,6 +128,23 @@ class TestSDFPipeline:
         rn = np.asarray(st.ref_normal)
         assert (rn[..., 0] != -2.0).mean() > 0.5
 
+    def test_icp_finest_decimate_tracks(self, run):
+        """icp_finest_decimate=2 (stride-2 finest ICP level): tracks to the
+        same gate; the status image stays full-res for renderTrack."""
+        slam, states, poses, depths = run
+        cfg = Configuration(volume_resolution=(128,) * 3,
+                            volume_size=(DIM,) * 3, pyramid=(4, 3, 2),
+                            block_capacity=4096, integration_rate=1,
+                            icp_finest_decimate=2)
+        s2 = DenseSLAMSystem((H, W), cfg)
+        s2.setPose(poses[0])
+        for i in range(8):
+            st = s2.step(depths[i], K4, i)
+        assert bool(st.tracked)
+        err = np.linalg.norm(np.asarray(st.pose)[:3, 3] - poses[-1][:3, 3])
+        assert err < 0.1
+        assert st.track_result.shape == (H, W)
+
     def test_lazy_assoc_icp_converges(self, run):
         """icp_lazy_assoc (sub-pixel iterations reuse the association
         gather) must track the same sequence to the same gate as plain
