@@ -43,12 +43,17 @@ def main():
     size = _intflag("--size", 256)
     span = float(sys.argv[sys.argv.index("--span") + 1]) \
         if "--span" in sys.argv else 1.6
-    capacity = _intflag("--capacity", 12288)
+    # right-sized to the 256^3 bench scene like bench.py (3.4k live blocks
+    # + headroom): every capacity-proportional cost (splat scatter passes,
+    # pack, gradmap build) shrinks with it.  512^3/1024^3 callers pass
+    # --capacity explicitly.
+    capacity = _intflag("--capacity", 6144)
     nf = _intflag("--frames", 96)
     int_rate = _intflag("--int-rate", 1)
     rc_rate = _intflag("--rc-rate", 1)
     warp = "--warp" in sys.argv and rc_rate > 1
     icp_decim = _intflag("--icp-decim", 1)
+    w2b = _intflag("--w2-budget", 8192)
 
     import jax
     import jax.numpy as jnp
@@ -76,6 +81,7 @@ def main():
                         raycast_warp=warp,
                         icp_lazy_assoc=lazy_assoc,
                         icp_finest_decimate=icp_decim,
+                        raycast_w2_budget=w2b,
                         field_type=field_name)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
@@ -88,7 +94,7 @@ def main():
                            second_window=second_window, span_factor=span,
                            refine=refine, raycast_rate=rc_rate,
                            warp=warp, lazy_assoc=lazy_assoc,
-                           finest_decimate=icp_decim)
+                           finest_decimate=icp_decim, w2_budget=w2b)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -140,6 +146,7 @@ def main():
         "raycast_rate": rc_rate,
         "raycast_warp": warp,
         "icp_finest_decimate": icp_decim,
+        "w2_budget": w2b,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
         "ate_max_m": round(ate["max"], 4),
@@ -167,6 +174,8 @@ def main():
             mode += "w"
     if icp_decim != 1:
         mode += f"_id{icp_decim}"
+    if w2b != 8192:
+        mode += f"_w2b{w2b}"
     if int_rate != 1:
         mode += f"_z{int_rate}"
     path = os.path.join(here,

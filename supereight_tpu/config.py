@@ -55,6 +55,11 @@ class Configuration:
                                            # association descriptors of
                                            # the costliest level)
     raycast_span_factor: float = 1.6       # fine window: span*diag + 2*band
+    raycast_w2_budget: int = 8192          # compacted second-window ray
+                                           # budget (each slot costs a full
+                                           # sample column whether used or
+                                           # not; needy rays are typically
+                                           # a few % at silhouettes)
     raycast_refine: str = "secant"         # full-res re-solve: "secant"
                                            # (2-sample field re-solve) |
                                            # "plane" (gather-free stored-

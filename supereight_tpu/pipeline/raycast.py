@@ -323,7 +323,8 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
             grad_table=None,
             refine: str = "secant",
             inside_any=None,
-            row_range=None) -> RaycastResult:
+            row_range=None,
+            w2_budget: int = 8192) -> RaycastResult:
     """Full raycastKernel (`rendering.cpp:50-90`): vertex + normal maps.
 
     Pipeline: block-splat start depths (phase 1, ~12k scattered elements)
@@ -424,7 +425,11 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     if second_window:
         need2 = active & ~f1.hit & (z_start + fine_span < t1 + diag)
         n_rays = fd.shape[0] * fd.shape[1]
-        budget = min(8192, n_rays)
+        # the compacted re-scan always runs its full budget (fixed shapes):
+        # every budget slot costs n_fine sample descriptors whether or not
+        # a needy ray fills it, so size it to the scene's silhouette
+        # fraction (typically a few % of rays), not to n_rays
+        budget = min(w2_budget, n_rays)
         idx = jnp.nonzero(need2.reshape(-1), size=budget,
                           fill_value=-1)[0]
         sel = jnp.maximum(idx, 0)

@@ -109,6 +109,7 @@ class DenseSLAMSystem:
                 warp=config.raycast_warp,
                 lazy_assoc=config.icp_lazy_assoc,
                 finest_decimate=config.icp_finest_decimate,
+                w2_budget=config.raycast_w2_budget,
             ),
             static_argnames=("use_gt", "neg_y"))
         # (no donation here: callers may hold references to earlier states;
@@ -135,7 +136,8 @@ class DenseSLAMSystem:
                 span_factor=config.raycast_span_factor,
                 refine=config.raycast_refine,
                 raycast_rate=config.raycast_rate,
-                warp=config.raycast_warp)),
+                warp=config.raycast_warp,
+                w2_budget=config.raycast_w2_budget)),
         }
 
     # ---- reference-parity accessors ----
@@ -390,7 +392,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                      span_factor: float = 1.6,
                      refine: str = "secant",
                      raycast_rate: int = 1,
-                     warp: bool = False) -> FrameState:
+                     warp: bool = False,
+                     w2_budget: int = 8192) -> FrameState:
     """raycasting() (`DenseSLAMSystem.cpp:191-204`): refresh the reference
     model maps from the current pose (only after the bootstrap frames).
 
@@ -415,7 +418,7 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                                  FAR_PLANE, normals=normals,
                                  second_window=second_window,
                                  span_factor=span_factor, grad_table=grad,
-                                 refine=refine)
+                                 refine=refine, w2_budget=w2_budget)
             return rc.vertex, rc.normal, pose
 
         def warp_fn(args):
@@ -444,7 +447,7 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
         rc = raycast.raycast(m, field, view, H, W, NEAR_PLANE, FAR_PLANE,
                              normals=normals, second_window=second_window,
                              span_factor=span_factor, grad_table=grad,
-                             refine=refine)
+                             refine=refine, w2_budget=w2_budget)
         return rc.vertex, rc.normal, pose
 
     def skip_fn(args):
@@ -467,7 +470,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   raycast_rate: int = 1,
                   warp: bool = False,
                   lazy_assoc: bool = False,
-                  finest_decimate: int = 1) -> FrameState:
+                  finest_decimate: int = 1,
+                  w2_budget: int = 8192) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
@@ -481,4 +485,5 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
     return raycasting_stage(state, k, frame, field=field, normals=normals,
                             second_window=second_window,
                             span_factor=span_factor, refine=refine,
-                            raycast_rate=raycast_rate, warp=warp)
+                            raycast_rate=raycast_rate, warp=warp,
+                            w2_budget=w2_budget)
