@@ -54,6 +54,7 @@ def main():
     warp = "--warp" in sys.argv and rc_rate > 1
     icp_decim = _intflag("--icp-decim", 1)
     w2b = _intflag("--w2-budget", 8192)
+    int_budget = _intflag("--int-budget", 0)
 
     import jax
     import jax.numpy as jnp
@@ -82,6 +83,7 @@ def main():
                         icp_lazy_assoc=lazy_assoc,
                         icp_finest_decimate=icp_decim,
                         raycast_w2_budget=w2b,
+                        integrate_budget=int_budget,
                         field_type=field_name)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
@@ -94,7 +96,8 @@ def main():
                            second_window=second_window, span_factor=span,
                            refine=refine, raycast_rate=rc_rate,
                            warp=warp, lazy_assoc=lazy_assoc,
-                           finest_decimate=icp_decim, w2_budget=w2b)
+                           finest_decimate=icp_decim, w2_budget=w2b,
+                           integrate_budget=int_budget)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -147,6 +150,7 @@ def main():
         "raycast_warp": warp,
         "icp_finest_decimate": icp_decim,
         "w2_budget": w2b,
+        "integrate_budget": int_budget,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
         "ate_max_m": round(ate["max"], 4),
@@ -176,6 +180,8 @@ def main():
         mode += f"_id{icp_decim}"
     if w2b != 8192:
         mode += f"_w2b{w2b}"
+    if int_budget:
+        mode += f"_ib{int_budget}"
     if int_rate != 1:
         mode += f"_z{int_rate}"
     path = os.path.join(here,

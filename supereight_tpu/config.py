@@ -80,6 +80,11 @@ class Configuration:
                                            # (see raycast.warp_maps); keep
                                            # off for tracking
     max_alloc_per_frame: int = 8192        # candidate new blocks per frame
+    integrate_budget: int = 0              # >0: fuse at most this many
+                                           # frustum-candidate blocks per
+                                           # frame (compacted rows) instead
+                                           # of streaming the whole
+                                           # capacity axis; 0 = dense
     raycast_coarse_samples: int = 96
     raycast_fine_samples: int = 16
     field_type: str = "sdf"                # "sdf" | "ofusion"

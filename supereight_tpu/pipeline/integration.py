@@ -277,25 +277,65 @@ def _decimated_atlas(depth):
 
 
 def integrate(m: VoxelMap, field, depth: jnp.ndarray, pose: jnp.ndarray,
-              K: jnp.ndarray, timestamp=0.0) -> VoxelMap:
+              K: jnp.ndarray, timestamp=0.0,
+              budget: int = 0) -> VoxelMap:
     """Fuse one depth frame (projective_map equivalent).
 
     Per block: slice-gather its depth footprint patch (stride matched to the
     footprint), resolve every voxel's nearest-pixel sample by one-hot MXU
     contractions, apply the field's update rule, refresh ``active`` from
     visibility (`projective_functor.hpp:73-111`).
+
+    ``budget`` > 0 compacts the per-block work to at most ``budget``
+    frustum-candidate blocks instead of streaming the whole capacity axis
+    (the reference's active list, `projective_functor.hpp:73-84`, kept a
+    fixed shape): a conservative centre-projection test selects candidates,
+    their rows gather/scatter by slot (row descriptors, width ~free), and
+    every patch/one-hot/update cost shrinks from [capacity] to [budget].
+    Candidates past the budget keep their voxels but are deactivated like
+    any invisible block; size the budget to the frustum (live visible
+    blocks ~2.5k at 256^3), not the map.
     """
     T_cw = jnp.linalg.inv(pose)
     voxel_size = m.voxel_size
     H, W = depth.shape
     cap = m.capacity
 
-    # ---- per-voxel projection over the block table ----
-    bc = octree.block_coords_table(m)                         # [cap, 3]
+    bc_full = octree.block_coords_table(m)                    # [cap, 3]
+    live_full = octree.slot_mask(m) & m.active
+
+    sel = None
+    if budget and budget < cap:
+        base_f = (bc_full * BLOCK_SIDE).astype(jnp.float32)
+        centers_f = (base_f + 0.5 * BLOCK_SIDE) * voxel_size
+        ccam_f, cpix_f = _project(T_cw, K, centers_f)
+        diag = 1.7320508 * BLOCK_SIDE * voxel_size
+        foot_f = jnp.abs(K[0, 0]) * diag / jnp.maximum(ccam_f[..., 2], 1e-3)
+        # superset of any-voxel-projects-in-frame: centre within the frame
+        # dilated by the block footprint, not fully behind the camera
+        cand = (live_full & (ccam_f[..., 2] > -0.5 * diag)
+                & (cpix_f[..., 0] >= -foot_f)
+                & (cpix_f[..., 0] <= W - 1 + foot_f)
+                & (cpix_f[..., 1] >= -foot_f)
+                & (cpix_f[..., 1] <= H - 1 + foot_f))
+        idx = jnp.nonzero(cand, size=budget, fill_value=-1)[0]
+        sel = jnp.maximum(idx, 0)
+        seln = idx >= 0
+        bc = bc_full[sel]
+        live = seln            # compacted rows are live candidates
+        data_rows = {name: v[sel] for name, v in m.voxels.items()}
+        n_rows = budget
+    else:
+        bc = bc_full
+        live = live_full
+        data_rows = dict(m.voxels)
+        n_rows = cap
+
+    # ---- per-voxel projection over the (compacted) block rows ----
     base = (bc * BLOCK_SIDE).astype(jnp.float32)
     offs = _local_offsets().astype(jnp.float32)               # [512, 3]
     pos_world = (base[:, None, :] + offs[None, :, :]) * voxel_size
-    pos_cam, pix = _project(T_cw, K, pos_world)               # [cap,512,*]
+    pos_cam, pix = _project(T_cw, K, pos_world)               # [n,512,*]
     valid = _pixel_valid(pix, pos_cam, (H, W))
 
     # ---- per-block patch (slice gather from the decimated atlas) ----
@@ -345,18 +385,27 @@ def integrate(m: VoxelMap, field, depth: jnp.ndarray, pose: jnp.ndarray,
                             dtype=jnp.float32)
     dsample = jnp.sum(rowvals * oh_col, axis=-1)              # [cap,512]
 
-    live = octree.slot_mask(m) & m.active
     do = valid & live[:, None]
     dsample = jnp.where(do, dsample, 0.0)
 
-    data = dict(m.voxels)
-    new_data = field.update(data, pos_cam, dsample, do, timestamp)
-    voxels = {name: jnp.where(live[:, None], new_data[name], data[name])
-              for name in data}
-
+    new_data = field.update(data_rows, pos_cam, dsample, do, timestamp)
+    rows = {name: jnp.where(live[:, None], new_data[name], data_rows[name])
+            for name in data_rows}
     # visibility refresh (`projective_functor.hpp:96-111`)
     visible = jnp.any(valid, axis=1)
-    active = jnp.where(octree.slot_mask(m) & m.active, visible, m.active)
+
+    if sel is not None:
+        # scatter the compacted rows back by slot; non-selected blocks keep
+        # voxels AND their active flag (a candidate past the budget is not
+        # deactivated — it stays eligible next frame)
+        tgt = jnp.where(seln, sel, cap)
+        voxels = {name: m.voxels[name].at[tgt].set(
+                      rows[name].astype(m.voxels[name].dtype), mode="drop")
+                  for name in rows}
+        active = m.active.at[tgt].set(visible & seln, mode="drop")
+    else:
+        voxels = rows
+        active = jnp.where(live_full, visible, m.active)
 
     m = m.replace(voxels=voxels, active=active)
     return _update_nodes(m, field, depth, T_cw, K, timestamp)

@@ -110,6 +110,7 @@ class DenseSLAMSystem:
                 lazy_assoc=config.icp_lazy_assoc,
                 finest_decimate=config.icp_finest_decimate,
                 w2_budget=config.raycast_w2_budget,
+                integrate_budget=config.integrate_budget,
             ),
             static_argnames=("use_gt", "neg_y"))
         # (no donation here: callers may hold references to earlier states;
@@ -128,7 +129,8 @@ class DenseSLAMSystem:
                 static_argnames=("use_gt", "neg_y")),
             "integration": jax.jit(functools.partial(
                 integration_stage, field=self.field,
-                integration_rate=config.integration_rate)),
+                integration_rate=config.integration_rate,
+                integrate_budget=config.integrate_budget)),
             "raycasting": jax.jit(functools.partial(
                 raycasting_stage, field=self.field,
                 normals=config.raycast_normals,
@@ -355,7 +357,8 @@ def tracking_stage(state: FrameState, k, frame, gt_pose, *, field,
 
 
 def integration_stage(state: FrameState, k, frame, *, field,
-                      integration_rate) -> FrameState:
+                      integration_rate,
+                      integrate_budget: int = 0) -> FrameState:
     """integration() (`DenseSLAMSystem.cpp:206-268`): integrates when
     tracked or during the bootstrap frames.  When the state carries a
     gradient table (raycast_normals == "stored") it is rebuilt here — the
@@ -376,7 +379,8 @@ def integration_stage(state: FrameState, k, frame, *, field,
         else:
             m = integration.allocate_sdf(m, float_depth, pose, K, band)
         m = integration.integrate(m, field, float_depth, pose, K,
-                                  timestamp=timestamp)
+                                  timestamp=timestamp,
+                                  budget=integrate_budget)
         if grad is not None:
             grad = gradmap.build_table(m, field)
         return m, grad
@@ -471,7 +475,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   warp: bool = False,
                   lazy_assoc: bool = False,
                   finest_decimate: int = 1,
-                  w2_budget: int = 8192) -> FrameState:
+                  w2_budget: int = 8192,
+                  integrate_budget: int = 0) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
@@ -481,7 +486,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                            neg_y=neg_y, lazy_assoc=lazy_assoc,
                            finest_decimate=finest_decimate)
     state = integration_stage(state, k, frame, field=field,
-                              integration_rate=integration_rate)
+                              integration_rate=integration_rate,
+                              integrate_budget=integrate_budget)
     return raycasting_stage(state, k, frame, field=field, normals=normals,
                             second_window=second_window,
                             span_factor=span_factor, refine=refine,

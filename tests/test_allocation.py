@@ -156,3 +156,35 @@ class TestExactOFusionAllocation:
                         covered = True
                 assert covered, f"uncovered free-space sample at t={t:.2f}"
             t += 0.5
+
+
+class TestIntegrateBudget:
+    def test_budgeted_matches_dense(self):
+        """integrate(budget=N) with N covering all visible blocks must fuse
+        bit-identically to the dense capacity-axis stream."""
+        depth, pose = _frame()
+        field = make_field("sdf", mu=0.3)
+        K = np.asarray(camera.camera_matrix(jnp.asarray(K4)))
+        maps = []
+        for budget in (0, 128):
+            m = octree.init(SIZE, DIM, field.channels, capacity=256)
+            m = integration.allocate_sdf(m, jnp.asarray(depth),
+                                         jnp.asarray(pose), jnp.asarray(K),
+                                         0.3)
+            m = integration.integrate(m, field, jnp.asarray(depth),
+                                      jnp.asarray(pose), jnp.asarray(K),
+                                      budget=budget)
+            # second frame exercises the active-flag path
+            m = integration.integrate(m, field, jnp.asarray(depth),
+                                      jnp.asarray(pose), jnp.asarray(K),
+                                      budget=budget)
+            maps.append(m)
+        dense, comp = maps
+        assert int(dense.n_blocks) == int(comp.n_blocks)
+        n = int(dense.n_blocks)
+        for name in ("tsdf", "weight"):
+            np.testing.assert_array_equal(
+                np.asarray(dense.voxels[name])[:n],
+                np.asarray(comp.voxels[name])[:n])
+        np.testing.assert_array_equal(np.asarray(dense.active)[:n],
+                                      np.asarray(comp.active)[:n])
