@@ -84,11 +84,17 @@ def main():
     # allocator + 86% headroom); every capacity-proportional cost (patch
     # gathers, pack, splat) shrinks with it.  ATE unchanged (bench_data).
     # the reference's canonical lr-traj2 command integrates every 4th frame
-    # (-z 4, BASELINE.md / reference README.md:77-81); the -z 1 quality
-    # record lives in bench_data/ate_icp_256.json (40.2 fps, ATE 1.73 cm)
+    # (-z 4, BASELINE.md / reference README.md:77-81).  Headline knobs
+    # (all ATE-validated in bench_data/, 2.54 cm at this config):
+    # hybrid normals (half-res 6-tap gradient + per-pixel along-ray
+    # correction) and integrate_budget (frustum-compacted fusion rows).
+    # The -z 1 quality records: 57.9 fps @ 1.91 cm (icp-decim 2), 40.2 fps
+    # @ 1.73 cm (full ICP) — bench_data/ate_icp_256*.json.
     cfg = Configuration(volume_resolution=(SIZE,) * 3, volume_size=(4.8,) * 3,
                         pyramid=(10, 5, 4), integration_rate=4,
-                        block_capacity=6144)
+                        block_capacity=6144,
+                        raycast_normals="hybrid",
+                        integrate_budget=3072)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
 
@@ -96,7 +102,8 @@ def main():
         process_frame, field=slam.field, iterations=slam.iterations,
         tracking_rate=1, integration_rate=4, bilateral=False,
         icp_threshold=cfg.icp_threshold,
-        use_gt=False, neg_y=False)
+        use_gt=False, neg_y=False, normals="hybrid",
+        integrate_budget=3072)
 
     k_dev = jnp.asarray(k)
     eye = jnp.eye(4, dtype=jnp.float32)

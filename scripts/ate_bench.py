@@ -55,6 +55,8 @@ def main():
     icp_decim = _intflag("--icp-decim", 1)
     w2b = _intflag("--w2-budget", 8192)
     int_budget = _intflag("--int-budget", 0)
+    alloc_stride = float(sys.argv[sys.argv.index("--alloc-stride") + 1]) \
+        if "--alloc-stride" in sys.argv else 1.0
 
     import jax
     import jax.numpy as jnp
@@ -84,6 +86,7 @@ def main():
                         icp_finest_decimate=icp_decim,
                         raycast_w2_budget=w2b,
                         integrate_budget=int_budget,
+                        alloc_stride=alloc_stride,
                         field_type=field_name)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
@@ -97,7 +100,8 @@ def main():
                            refine=refine, raycast_rate=rc_rate,
                            warp=warp, lazy_assoc=lazy_assoc,
                            finest_decimate=icp_decim, w2_budget=w2b,
-                           integrate_budget=int_budget)
+                           integrate_budget=int_budget,
+                           alloc_stride=alloc_stride)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -151,6 +155,7 @@ def main():
         "icp_finest_decimate": icp_decim,
         "w2_budget": w2b,
         "integrate_budget": int_budget,
+        "alloc_stride": alloc_stride,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
         "ate_max_m": round(ate["max"], 4),
@@ -182,6 +187,8 @@ def main():
         mode += f"_w2b{w2b}"
     if int_budget:
         mode += f"_ib{int_budget}"
+    if alloc_stride != 1.0:
+        mode += f"_as{alloc_stride:g}"
     if int_rate != 1:
         mode += f"_z{int_rate}"
     path = os.path.join(here,

@@ -80,6 +80,8 @@ class Configuration:
                                            # (see raycast.warp_maps); keep
                                            # off for tracking
     max_alloc_per_frame: int = 8192        # candidate new blocks per frame
+    alloc_stride: float = 1.0              # band-march sample spacing in
+                                           # voxels (1 = reference-exact)
     integrate_budget: int = 0              # >0: fuse at most this many
                                            # frustum-candidate blocks per
                                            # frame (compacted rows) instead

@@ -120,7 +120,7 @@ def _pixel_rays(depth, pose, K, decim: int, row0=None):
 
 
 def allocate_sdf(m: VoxelMap, depth, pose, K, band: float,
-                 mips=None) -> VoxelMap:
+                 mips=None, stride: float = 1.0) -> VoxelMap:
     """SDF block allocation: the exact per-pixel band march of
     ``buildAllocationList`` (`kfusion/alloc_impl.hpp:54-118`), vectorized.
 
@@ -140,12 +140,12 @@ def allocate_sdf(m: VoxelMap, depth, pose, K, band: float,
     del mips
     decim = _alloc_decimation(m, depth.shape)
     wanted = sdf_wanted_mask(depth, pose, K, size=m.size, dim=m.dim,
-                             band=band, decim=decim)
+                             band=band, decim=decim, stride=stride)
     return octree.allocate_block_mask(m, wanted)
 
 
 def sdf_wanted_mask(depth, pose, K, *, size: int, dim: float, band: float,
-                    decim: int = 1, row0=None):
+                    decim: int = 1, row0=None, stride: float = 1.0):
     """Dense bool[B,B,B] block-request mask from the per-pixel band march
     (the mask-producing core of :func:`allocate_sdf`; separated so the
     multi-device allocator can compute per-image-strip partial masks and
@@ -153,11 +153,15 @@ def sdf_wanted_mask(depth, pose, K, *, size: int, dim: float, band: float,
 
     ``row0`` offsets the pixel y coordinates when ``depth`` is a strip of a
     larger image (its x/y grid must index into the full camera frame).
+    ``stride`` multiplies the sample spacing (1 = the reference's voxel
+    spacing, exact; 2 halves the scatter descriptors — a block is then
+    missed only when its whole band intersection along a sampled ray is
+    under 2 voxels AND no neighbouring ray crosses it properly).
     """
     inv_vs = size / dim
     d, vertex, direction, _, _ = _pixel_rays(depth, pose, K, decim,
                                              row0=row0)
-    n_steps = max(int(np.ceil(band * inv_vs)), 1)
+    n_steps = max(int(np.ceil(band * inv_vs / stride)), 1)
     # sample offsets from -band/2 toward the camera, voxel spacing
     # (`alloc_impl.hpp:88-90`: origin = vertex - band/2 * dir, step = band/n)
     t = -0.5 * band + (band / n_steps) * jnp.arange(n_steps,

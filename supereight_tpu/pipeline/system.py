@@ -111,6 +111,7 @@ class DenseSLAMSystem:
                 finest_decimate=config.icp_finest_decimate,
                 w2_budget=config.raycast_w2_budget,
                 integrate_budget=config.integrate_budget,
+                alloc_stride=config.alloc_stride,
             ),
             static_argnames=("use_gt", "neg_y"))
         # (no donation here: callers may hold references to earlier states;
@@ -130,7 +131,8 @@ class DenseSLAMSystem:
             "integration": jax.jit(functools.partial(
                 integration_stage, field=self.field,
                 integration_rate=config.integration_rate,
-                integrate_budget=config.integrate_budget)),
+                integrate_budget=config.integrate_budget,
+                alloc_stride=config.alloc_stride)),
             "raycasting": jax.jit(functools.partial(
                 raycasting_stage, field=self.field,
                 normals=config.raycast_normals,
@@ -358,7 +360,8 @@ def tracking_stage(state: FrameState, k, frame, gt_pose, *, field,
 
 def integration_stage(state: FrameState, k, frame, *, field,
                       integration_rate,
-                      integrate_budget: int = 0) -> FrameState:
+                      integrate_budget: int = 0,
+                      alloc_stride: float = 1.0) -> FrameState:
     """integration() (`DenseSLAMSystem.cpp:206-268`): integrates when
     tracked or during the bootstrap frames.  When the state carries a
     gradient table (raycast_normals == "stored") it is rebuilt here — the
@@ -377,7 +380,8 @@ def integration_stage(state: FrameState, k, frame, *, field,
         if field.multiscale_alloc:
             m = integration.allocate_ofusion(m, float_depth, pose, K, band)
         else:
-            m = integration.allocate_sdf(m, float_depth, pose, K, band)
+            m = integration.allocate_sdf(m, float_depth, pose, K, band,
+                                         stride=alloc_stride)
         m = integration.integrate(m, field, float_depth, pose, K,
                                   timestamp=timestamp,
                                   budget=integrate_budget)
@@ -476,7 +480,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   lazy_assoc: bool = False,
                   finest_decimate: int = 1,
                   w2_budget: int = 8192,
-                  integrate_budget: int = 0) -> FrameState:
+                  integrate_budget: int = 0,
+                  alloc_stride: float = 1.0) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
@@ -487,7 +492,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                            finest_decimate=finest_decimate)
     state = integration_stage(state, k, frame, field=field,
                               integration_rate=integration_rate,
-                              integrate_budget=integrate_budget)
+                              integrate_budget=integrate_budget,
+                              alloc_stride=alloc_stride)
     return raycasting_stage(state, k, frame, field=field, normals=normals,
                             second_window=second_window,
                             span_factor=span_factor, refine=refine,

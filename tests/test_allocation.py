@@ -188,3 +188,19 @@ class TestIntegrateBudget:
                 np.asarray(comp.voxels[name])[:n])
         np.testing.assert_array_equal(np.asarray(dense.active)[:n],
                                       np.asarray(comp.active)[:n])
+
+
+def test_alloc_stride_near_lossless():
+    """stride=2 band-march sampling: block set is a subset of the exact
+    march and misses at most a few sliver blocks."""
+    depth, pose = _frame()
+    K = np.asarray(camera.camera_matrix(jnp.asarray(K4)))
+    sets = []
+    for stride in (1.0, 2.0):
+        w = integration.sdf_wanted_mask(
+            jnp.asarray(depth), jnp.asarray(pose), jnp.asarray(K),
+            size=SIZE, dim=DIM, band=0.3, decim=1, stride=stride)
+        sets.append(set(map(tuple, np.argwhere(np.asarray(w)).tolist())))
+    exact, strided = sets
+    assert strided <= exact
+    assert len(strided) >= 0.95 * len(exact)
