@@ -81,7 +81,11 @@ class Configuration:
                                            # off for tracking
     max_alloc_per_frame: int = 8192        # candidate new blocks per frame
     alloc_stride: float = 1.0              # band-march sample spacing in
-                                           # voxels (1 = reference-exact)
+                                           # voxels (1 = reference-exact).
+                                           # MEASURED NEGATIVE at 2: +3.5
+                                           # fps but ATE 1.91->3.12 cm
+                                           # (missing sliver band blocks
+                                           # bias the TSDF surface); keep 1
     integrate_budget: int = 0              # >0: fuse at most this many
                                            # frustum-candidate blocks per
                                            # frame (compacted rows) instead
