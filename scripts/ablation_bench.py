@@ -49,9 +49,14 @@ def main():
 
     def run_variant(name, *, skip_raycast=False, skip_integrate=False,
                     use_gt=False, chunk=16, nf=NF):
+        # the bench.py headline knob set (hybrid normals, budgeted fusion,
+        # right-sized capacity) so the stage deltas describe the shipping
+        # configuration
         cfg = Configuration(volume_resolution=(SIZE,) * 3,
                             volume_size=(4.8,) * 3, pyramid=(10, 5, 4),
-                            integration_rate=1, block_capacity=12288)
+                            integration_rate=1, block_capacity=6144,
+                            raycast_normals="hybrid",
+                            integrate_budget=3072)
         slam = DenseSLAMSystem((H, W), cfg)
         slam.setPose(poses[0])
         field = slam.field
@@ -65,10 +70,11 @@ def main():
             if not skip_integrate:
                 state = psys.integration_stage(state, k_dev, frame,
                                                field=field,
-                                               integration_rate=1)
+                                               integration_rate=1,
+                                               integrate_budget=3072)
             if not skip_raycast:
                 state = psys.raycasting_stage(state, k_dev, frame,
-                                              field=field)
+                                              field=field, normals="hybrid")
             return state
 
         def scan_step(state, inp):
