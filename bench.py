@@ -82,28 +82,33 @@ def main():
 
     # capacity right-sized to the scene (3304 live blocks with the exact
     # allocator + 86% headroom); every capacity-proportional cost (patch
-    # gathers, pack, splat) shrinks with it.  ATE unchanged (bench_data).
-    # the reference's canonical lr-traj2 command integrates every 4th frame
-    # (-z 4, BASELINE.md / reference README.md:77-81).  Headline knobs
-    # (all ATE-validated in bench_data/, 2.54 cm at this config):
-    # hybrid normals (half-res 6-tap gradient + per-pixel along-ray
-    # correction) and integrate_budget (frustum-compacted fusion rows).
-    # The -z 1 quality records: 57.9 fps @ 1.91 cm (icp-decim 2), 40.2 fps
-    # @ 1.73 cm (full ICP) — bench_data/ate_icp_256*.json.
+    # gathers, pack, splat) shrinks with it.
+    # The reference's canonical lr-traj2 command integrates every 4th
+    # frame (-z 4, BASELINE.md / reference README.md:77-81).  This config
+    # integrates TWICE as often (-z 2) and still beats the -z 4 run on
+    # both axes (65.1 fps @ ATE 2.27 cm vs 57.7 @ 2.54 — bench_data/
+    # ate_icp_256_hybrid_id2_ib3072_z2.json): strictly more fusion work
+    # per second at better accuracy.  Headline knobs (ATE-validated in
+    # bench_data/): hybrid normals (half-res 6-tap gradient + per-pixel
+    # along-ray correction), integrate_budget (frustum-compacted fusion
+    # rows), icp_finest_decimate 2 (stride-2 finest ICP level).  Quality
+    # records: 57.9 fps @ 1.91 cm (-z 1), 40.2 fps @ 1.73 cm (full ICP,
+    # volume normals).
     cfg = Configuration(volume_resolution=(SIZE,) * 3, volume_size=(4.8,) * 3,
-                        pyramid=(10, 5, 4), integration_rate=4,
+                        pyramid=(10, 5, 4), integration_rate=2,
                         block_capacity=6144,
                         raycast_normals="hybrid",
-                        integrate_budget=3072)
+                        integrate_budget=3072,
+                        icp_finest_decimate=2)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
 
     fn = functools.partial(
         process_frame, field=slam.field, iterations=slam.iterations,
-        tracking_rate=1, integration_rate=4, bilateral=False,
+        tracking_rate=1, integration_rate=2, bilateral=False,
         icp_threshold=cfg.icp_threshold,
         use_gt=False, neg_y=False, normals="hybrid",
-        integrate_budget=3072)
+        integrate_budget=3072, finest_decimate=2)
 
     k_dev = jnp.asarray(k)
     eye = jnp.eye(4, dtype=jnp.float32)
