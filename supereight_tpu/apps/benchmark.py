@@ -66,6 +66,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--normals", default="volume",
                    choices=("volume", "stored", "hybrid", "image",
                             "forward3"))
+    p.add_argument("--icp-decim", type=int, default=1,
+                   help="stride the finest ICP level's input maps")
+    p.add_argument("--int-budget", type=int, default=0,
+                   help="fuse at most this many frustum-candidate blocks "
+                        "per frame (0 = stream the whole table)")
     return p.parse_args(argv)
 
 
@@ -104,6 +109,8 @@ def main(argv=None):
         raycast_rate=args.raycast_rate,
         raycast_warp=args.warp,
         raycast_normals=args.normals,
+        icp_finest_decimate=args.icp_decim,
+        integrate_budget=args.int_budget,
     )
 
     gt_poses = None

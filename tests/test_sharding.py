@@ -24,10 +24,10 @@ K4 = np.asarray([48.0 * W / 160, 48.0 * H / 120, W / 2.0, H / 2.0],
                 np.float32)
 
 
-def build(capacity=1024):
+def build(capacity=1024, partitions=1):
     cfg = Configuration(volume_resolution=(64,) * 3, volume_size=(4.8,) * 3,
                         pyramid=(3, 2, 2), block_capacity=capacity,
-                        integration_rate=1)
+                        integration_rate=1, map_partitions=partitions)
     slam = DenseSLAMSystem((H, W), cfg)
     fn = functools.partial(
         process_frame, field=slam.field, iterations=slam.iterations,
@@ -249,6 +249,33 @@ class TestShardedRaycast:
         np.testing.assert_allclose(np.asarray(v), np.asarray(rc.vertex),
                                    atol=1e-4)
         np.testing.assert_allclose(np.asarray(n), np.asarray(rc.normal),
+                                   atol=1e-4)
+
+    def test_owner_partitioned_map_matches(self, frames):
+        """The exchange also works on an owner-partitioned map (live slots
+        are per-partition prefixes, not one global prefix)."""
+        from supereight_tpu.parallel import raycast_dist
+        from supereight_tpu.pipeline import camera, raycast
+        from supereight_tpu.pipeline.constants import FAR_PLANE, NEAR_PLANE
+
+        depths, poses = frames
+        slam, fn = build(partitions=8)
+        state = slam.state
+        step = jax.jit(fn)
+        for i, d in enumerate(depths):
+            state = step(state, jnp.asarray(d), jnp.asarray(K4),
+                         jnp.asarray(i, jnp.int32), jnp.asarray(poses[i]))
+        view = state.pose @ camera.inverse_camera_matrix(jnp.asarray(K4))
+        rc = jax.jit(lambda mm, vv: raycast.raycast(
+            mm, slam.field, vv, H, W, NEAR_PLANE, FAR_PLANE))(
+                state.map, view)
+        mesh = make_mesh(8)
+        dist_fn = raycast_dist.sharded_raycast(
+            mesh, slam.field, H, W, NEAR_PLANE, FAR_PLANE,
+            max_visible_per_device=256)
+        v, n, t, dropped = jax.jit(dist_fn)(state.map, view)
+        assert int(np.asarray(dropped).sum()) == 0
+        np.testing.assert_allclose(np.asarray(t), np.asarray(rc.t_hit),
                                    atol=1e-4)
 
     def test_budget_overflow_reported(self, frames):
