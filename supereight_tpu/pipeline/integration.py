@@ -325,6 +325,11 @@ def integrate(m: VoxelMap, field, depth: jnp.ndarray, pose: jnp.ndarray,
         idx = jnp.nonzero(cand, size=budget, fill_value=-1)[0]
         sel = jnp.maximum(idx, 0)
         seln = idx >= 0
+        # no silent caps: candidates past the budget skip this fusion —
+        # count them into the map's overflow diagnostic (measured at 512^3:
+        # a 6144 budget under 23k live blocks cost ATE 2.74 -> 3.90 cm)
+        n_dropped = jnp.maximum(jnp.sum(cand.astype(jnp.int32)) - budget, 0)
+        m = m.replace(overflow=m.overflow + n_dropped)
         bc = bc_full[sel]
         live = seln            # compacted rows are live candidates
         data_rows = {name: v[sel] for name, v in m.voxels.items()}
