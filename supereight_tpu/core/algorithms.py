@@ -13,22 +13,33 @@ scans.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import morton, octree
 
 
+def _as_keys(keys):
+    """Keys keep their dtype (uint64 for >512^3 octant keys, see
+    morton.key_dtype); anything else defaults to uint32."""
+    k = jnp.asarray(keys)
+    if k.dtype not in (jnp.uint32, jnp.uint64):
+        k = k.astype(jnp.uint32)
+    return k
+
+
 def sort_keys(keys):
     """Parallel key sort (reference uses __gnu_parallel::sort,
     `octree.hpp:795-799`)."""
-    return jnp.sort(jnp.asarray(keys, jnp.uint32))
+    return jnp.sort(_as_keys(keys))
 
 
 def unique(keys_sorted, n_valid=None):
     """Mask of the first occurrence of each key in a sorted array
     (`unique.hpp:36-49`).  Returns (mask, count)."""
-    k = jnp.asarray(keys_sorted, jnp.uint32)
-    prev = jnp.concatenate([k[:1] ^ jnp.uint32(0xFFFFFFFF), k[:-1]])
+    k = _as_keys(keys_sorted)
+    with jax.enable_x64(True):
+        prev = jnp.concatenate([~k[:1], k[:-1]])
     mask = k != prev
     if n_valid is not None:
         mask = mask & (jnp.arange(k.shape[0]) < n_valid)
@@ -39,7 +50,7 @@ def filter_ancestors(keys_sorted, max_depth, n_valid=None):
     """Drop keys that are ancestors of their successor (`unique.hpp:51-63`):
     in a sorted list, a key whose octant contains the next key is redundant
     (the deeper one implies allocation of the whole branch)."""
-    k = jnp.asarray(keys_sorted, jnp.uint32)
+    k = _as_keys(keys_sorted)
     nxt = jnp.concatenate([k[1:], k[-1:]])
     is_anc = morton.key_is_descendant(nxt, k, max_depth) & (nxt != k)
     keep = ~is_anc
@@ -55,10 +66,12 @@ def unique_multiscale(keys_sorted, max_depth, n_valid=None):
     (`unique.hpp:65-79`): first occurrence wins after sorting because the
     level lives in the low bits — here we explicitly keep the max level per
     morton prefix."""
-    k = jnp.asarray(keys_sorted, jnp.uint32)
+    k = _as_keys(keys_sorted)
     code = morton.key_morton(k)
     level = morton.key_level(k)
-    nxt_code = jnp.concatenate([code[1:], code[-1:] ^ jnp.uint32(1)])
+    with jax.enable_x64(True):
+        nxt_code = jnp.concatenate([code[1:],
+                                    code[-1:] ^ jnp.asarray(1, code.dtype)])
     nxt_level = jnp.concatenate([level[1:], level[-1:]])
     # sorted by (code, level): the last entry of each code run is deepest
     keep = (code != nxt_code) | (level > nxt_level)

@@ -3,15 +3,24 @@
 TPU-native replacement for the reference's scalar 64-bit Morton utilities
 (`se_core/include/se/utils/morton_utils.hpp:37-72` and
 `se_core/include/se/octant_ops.hpp:41-183`).  Instead of one key at a time we
-operate on whole uint32 arrays so XLA can keep everything on the VPU.
+operate on whole uint32/uint64 arrays so XLA can keep everything on the VPU.
 
-Key layout (uint32):
+Key layout — packed as ``(morton(x, y, z) << 5) | level``:
 
-    [ morton(x, y, z) : 30 bits | level : 5 bits ]  -- packed as (morton << 5) | level
+* **uint32 keys** (volumes up to 512^3): 27-bit morton (9 bits/axis) +
+  5 level bits.
+* **uint64 keys** (volumes up to 524288^3): 57-bit morton (19 bits/axis) +
+  5 level bits — the reference widens the same way to 21 bits/axis with
+  64-bit keys (`octree_defines.h:38-44`); two fewer bits here keep the
+  level packed in the same word.  The dtype is chosen from ``max_depth``
+  at encode time (`key_dtype`) and every key operation dispatches on the
+  key array's dtype.  64-bit integer ops run under a local
+  ``jax.enable_x64`` scope: outside it JAX (in 32-bit default mode)
+  silently canonicalizes uint64 results back to uint32.
 
-* Coordinates are octant-origin voxel coordinates, 10 bits per axis (supports
-  cubes up to 1024^3 voxels directly; block-granularity keys extend this to
-  8192^3 voxels since blocks are 8^3).
+* Coordinates are octant-origin voxel coordinates.  Block-granularity keys
+  (:func:`block_key`, no level bits) carry 10 bits/axis in uint32 and so
+  reach 8192^3 voxels on their own.
 * ``level`` counts from the root: level 0 is the root (side = size), level
   ``max_depth = log2(size)`` is a single voxel.  This mirrors the reference's
   convention (`octant_ops.hpp:50-58`), but the level lives in the low 5 bits
@@ -23,9 +32,12 @@ Key layout (uint32):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-MAX_COORD_BITS = 10            # bits per axis in a 30-bit morton code
+MAX_COORD_BITS = 10            # bits per axis in a 30-bit block-key code
+MAX_COORD_BITS_32 = 9          # bits per axis a uint32 octant KEY can hold
+MAX_COORD_BITS_64 = 19         # bits per axis a uint64 octant KEY can hold
 LEVEL_BITS = 5
 LEVEL_MASK = jnp.uint32((1 << LEVEL_BITS) - 1)
 MORTON_MASK = jnp.uint32(((1 << 30) - 1))
@@ -51,6 +63,32 @@ def compact_bits(v):
     return v
 
 
+def expand_bits_64(v):
+    """Spread the low 21 bits of ``v`` 3 positions apart (64-bit morton,
+    same magic sequence as the reference's `morton_utils.hpp:37-47`
+    family of constants)."""
+    with jax.enable_x64(True):
+        v = jnp.asarray(v, jnp.uint64) & jnp.uint64(0x1FFFFF)
+        v = (v | (v << 32)) & jnp.uint64(0x001F00000000FFFF)
+        v = (v | (v << 16)) & jnp.uint64(0x001F0000FF0000FF)
+        v = (v | (v << 8)) & jnp.uint64(0x100F00F00F00F00F)
+        v = (v | (v << 4)) & jnp.uint64(0x10C30C30C30C30C3)
+        v = (v | (v << 2)) & jnp.uint64(0x1249249249249249)
+        return v
+
+
+def compact_bits_64(v):
+    """Inverse of :func:`expand_bits_64`."""
+    with jax.enable_x64(True):
+        v = jnp.asarray(v, jnp.uint64) & jnp.uint64(0x1249249249249249)
+        v = (v ^ (v >> 2)) & jnp.uint64(0x10C30C30C30C30C3)
+        v = (v ^ (v >> 4)) & jnp.uint64(0x100F00F00F00F00F)
+        v = (v ^ (v >> 8)) & jnp.uint64(0x001F0000FF0000FF)
+        v = (v ^ (v >> 16)) & jnp.uint64(0x001F00000000FFFF)
+        v = (v ^ (v >> 32)) & jnp.uint64(0x1FFFFF)
+        return v
+
+
 def encode_morton(x, y, z):
     """Interleave three coordinate arrays into 30-bit morton codes (uint32)."""
     return expand_bits(x) | (expand_bits(y) << 1) | (expand_bits(z) << 2)
@@ -66,60 +104,92 @@ def decode_morton(code):
 
 
 # ---------------------------------------------------------------------------
-# Octant keys: (morton << 5) | level
+# Octant keys: (morton << 5) | level, uint32 or uint64 by volume size
 # ---------------------------------------------------------------------------
 
+def key_dtype(max_depth):
+    """Key dtype for a tree of ``max_depth`` levels (side = 2^max_depth)."""
+    check_key_capacity(max_depth)
+    return jnp.uint32 if max_depth <= MAX_COORD_BITS_32 else jnp.uint64
+
+
 def check_key_capacity(max_depth) -> None:
-    """Voxel-level octant keys carry 10 bits/axis: cubes beyond 1024^3
-    voxels would silently truncate (the reference widens to 21 bits/axis,
-    `octree_defines.h:38-44`; block-granularity keys here already reach
-    8192^3 since blocks are 8^3).  Static shapes make this checkable at
-    trace time — fail loudly instead."""
-    if isinstance(max_depth, int) and max_depth > MAX_COORD_BITS:
+    """Octant keys carry at most 19 bits/axis (uint64 keys; uint32 keys up
+    to 9 bits/axis are chosen automatically below that).  Volumes beyond
+    524288^3 voxels would silently truncate — fail loudly instead.
+    (Block-granularity keys, :func:`block_key`, reach 8192^3 on uint32.)"""
+    if isinstance(max_depth, int) and max_depth > MAX_COORD_BITS_64:
         raise ValueError(
-            f"voxel-level morton keys support max_depth <= {MAX_COORD_BITS} "
-            f"(1024^3 voxels); got max_depth={max_depth}. Use block-"
-            f"granularity keys (block_key) for larger volumes.")
+            f"octant morton keys support max_depth <= {MAX_COORD_BITS_64} "
+            f"(524288^3 voxels); got max_depth={max_depth}.")
+
+
+def _is64(key) -> bool:
+    return jnp.asarray(key).dtype == jnp.uint64
 
 
 def key_encode(x, y, z, level, max_depth):
     """Build octant keys from voxel coordinates at ``level``.
 
     Coordinates are truncated to the octant grid of that level, mirroring the
-    prefix masking of the reference encoder (`octant_ops.hpp:50-55`).
+    prefix masking of the reference encoder (`octant_ops.hpp:50-55`).  The
+    key dtype follows :func:`key_dtype`: uint32 through 512^3, uint64 above.
     """
-    check_key_capacity(max_depth)
-    level = jnp.asarray(level, jnp.uint32)
-    shift = jnp.uint32(max_depth) - level
-    x = (jnp.asarray(x, jnp.uint32) >> shift) << shift
-    y = (jnp.asarray(y, jnp.uint32) >> shift) << shift
-    z = (jnp.asarray(z, jnp.uint32) >> shift) << shift
-    return (encode_morton(x, y, z) << LEVEL_BITS) | level
+    dt = key_dtype(max_depth)
+    with jax.enable_x64(True):
+        level = jnp.asarray(level, dt)
+        shift = jnp.asarray(max_depth, dt) - level
+        x = (jnp.asarray(x, dt) >> shift) << shift
+        y = (jnp.asarray(y, dt) >> shift) << shift
+        z = (jnp.asarray(z, dt) >> shift) << shift
+        if dt == jnp.uint64:
+            morton = (expand_bits_64(x) | (expand_bits_64(y) << 1)
+                      | (expand_bits_64(z) << 2))
+        else:
+            morton = encode_morton(x, y, z)
+        return (morton << LEVEL_BITS) | level
 
 
 def key_morton(key):
-    """The 30-bit morton code of a key (level stripped)."""
-    return (jnp.asarray(key, jnp.uint32) >> LEVEL_BITS) & MORTON_MASK
+    """The morton code of a key (level stripped)."""
+    key = jnp.asarray(key)
+    if _is64(key):
+        with jax.enable_x64(True):
+            return key >> jnp.uint64(LEVEL_BITS)
+    return (key >> LEVEL_BITS) & MORTON_MASK
 
 
 def key_level(key):
     """The level stored in a key's low bits."""
-    return (jnp.asarray(key, jnp.uint32) & LEVEL_MASK).astype(jnp.int32)
+    key = jnp.asarray(key)
+    if _is64(key):
+        with jax.enable_x64(True):
+            return (key & jnp.uint64((1 << LEVEL_BITS) - 1)).astype(jnp.int32)
+    return (key & LEVEL_MASK).astype(jnp.int32)
 
 
 def key_decode(key):
     """Voxel coordinates of a key's octant origin: (x, y, z) int32 arrays."""
-    return decode_morton(key_morton(key))
+    m = key_morton(key)
+    if _is64(key):
+        with jax.enable_x64(True):
+            return (compact_bits_64(m).astype(jnp.int32),
+                    compact_bits_64(m >> jnp.uint64(1)).astype(jnp.int32),
+                    compact_bits_64(m >> jnp.uint64(2)).astype(jnp.int32))
+    return decode_morton(m)
 
 
 def key_parent(key, max_depth):
     """Key of the parent octant (one level up); reference `octant_ops.hpp:100-104`."""
-    key = jnp.asarray(key, jnp.uint32)
-    level = key_level(key).astype(jnp.uint32)
-    parent_level = level - 1
-    shift = 3 * (jnp.uint32(max_depth) - parent_level)
-    morton = (key_morton(key) >> shift) << shift
-    return (morton << LEVEL_BITS) | parent_level
+    key = jnp.asarray(key)
+    dt = key.dtype
+    with jax.enable_x64(True):
+        level = key_level(key).astype(dt)
+        parent_level = level - jnp.asarray(1, dt)
+        shift = jnp.asarray(3, dt) * (jnp.asarray(max_depth, dt)
+                                      - parent_level)
+        morton = (key_morton(key) >> shift) << shift
+        return (morton << LEVEL_BITS) | parent_level
 
 
 def key_child_id(key, max_depth):
@@ -127,21 +197,27 @@ def key_child_id(key, max_depth):
 
     Bit 0 selects x, bit 1 y, bit 2 z — same as `octant_ops.hpp:112-118`.
     """
-    key = jnp.asarray(key, jnp.uint32)
-    level = key_level(key).astype(jnp.uint32)
-    shift = 3 * (jnp.uint32(max_depth) - level)
-    return ((key_morton(key) >> shift) & jnp.uint32(7)).astype(jnp.int32)
+    key = jnp.asarray(key)
+    dt = key.dtype
+    with jax.enable_x64(True):
+        level = key_level(key).astype(dt)
+        shift = jnp.asarray(3, dt) * (jnp.asarray(max_depth, dt) - level)
+        return ((key_morton(key) >> shift)
+                & jnp.asarray(7, dt)).astype(jnp.int32)
 
 
 def key_siblings(key, max_depth):
     """All 8 keys of the sibling group containing ``key`` (appends an axis)."""
-    key = jnp.asarray(key, jnp.uint32)
-    level = key_level(key).astype(jnp.uint32)
-    shift = 3 * (jnp.uint32(max_depth) - level)
-    base = ((key_morton(key) >> (shift + 3)) << (shift + 3))
-    ids = jnp.arange(8, dtype=jnp.uint32)
-    morton = base[..., None] | (ids << shift[..., None])
-    return (morton << LEVEL_BITS) | level[..., None]
+    key = jnp.asarray(key)
+    dt = key.dtype
+    with jax.enable_x64(True):
+        level = key_level(key).astype(dt)
+        shift = jnp.asarray(3, dt) * (jnp.asarray(max_depth, dt) - level)
+        base = ((key_morton(key) >> (shift + jnp.asarray(3, dt)))
+                << (shift + jnp.asarray(3, dt)))
+        ids = jnp.arange(8).astype(dt)
+        morton = base[..., None] | (ids << shift[..., None])
+        return (morton << LEVEL_BITS) | level[..., None]
 
 
 def key_is_descendant(key, ancestor, max_depth):
@@ -149,12 +225,15 @@ def key_is_descendant(key, ancestor, max_depth):
 
     Parity with reference `octant_ops.hpp:81-89`.
     """
-    anc_level = key_level(ancestor).astype(jnp.uint32)
-    shift = 3 * (jnp.uint32(max_depth) - anc_level)
-    pref_k = (key_morton(key) >> shift) << shift
-    pref_a = key_morton(ancestor)
-    deeper = key_level(key) >= key_level(ancestor)
-    return (pref_k == pref_a) & deeper
+    key = jnp.asarray(key)
+    dt = key.dtype
+    with jax.enable_x64(True):
+        anc_level = key_level(ancestor).astype(dt)
+        shift = jnp.asarray(3, dt) * (jnp.asarray(max_depth, dt) - anc_level)
+        pref_k = (key_morton(key) >> shift) << shift
+        pref_a = key_morton(ancestor)
+        deeper = key_level(key) >= key_level(ancestor)
+        return (pref_k == pref_a) & deeper
 
 
 def key_far_corner(key, max_depth):

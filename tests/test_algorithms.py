@@ -50,6 +50,42 @@ class TestUniqueMultiscale:
         assert 3 in levels and len(kept) >= 1
 
 
+class TestKeys64:
+    """List-space algebra on uint64 keys (>512^3 volumes)."""
+
+    def test_sort_unique_64(self):
+        max_depth = 11
+        rng = np.random.default_rng(5)
+        xyz = rng.integers(0, 2048, size=(128, 3)).astype(np.uint32)
+        k = morton.key_encode(xyz[:, 0], xyz[:, 1], xyz[:, 2], 8, max_depth)
+        both = jnp.concatenate([k, k])          # every key duplicated
+        s = algorithms.sort_keys(both)
+        assert s.dtype == jnp.uint64
+        mask, count = algorithms.unique(s)
+        assert int(count) == len(np.unique(np.asarray(k)))
+
+    def test_filter_ancestors_64(self):
+        max_depth = 11
+        parent = morton.key_encode(jnp.asarray([1536]), jnp.asarray([0]),
+                                   jnp.asarray([0]), 2, max_depth)
+        child = morton.key_encode(jnp.asarray([1600]), jnp.asarray([64]),
+                                  jnp.asarray([32]), 6, max_depth)
+        keys = algorithms.sort_keys(jnp.concatenate([parent, child]))
+        keep = algorithms.filter_ancestors(keys, max_depth)
+        assert int(keep.sum()) == 1
+
+    def test_unique_multiscale_64(self):
+        max_depth = 11
+        x = jnp.asarray([1024])
+        k2 = morton.key_encode(x, x, x, 2, max_depth)
+        k3 = morton.key_encode(x, x, x, 3, max_depth)
+        keys = algorithms.sort_keys(jnp.concatenate([k2, k3]))
+        keep = algorithms.unique_multiscale(keys, max_depth)
+        kept = np.asarray(keys)[np.asarray(keep)]
+        levels = [int(morton.key_level(jnp.asarray([k]))[0]) for k in kept]
+        assert 3 in levels
+
+
 class TestActiveListFilter:
     """`algorithms::filter` / `in_frustum` / `getBlockList` parity
     (`filter.hpp:37-117`, `octree.hpp:858-895`)."""
