@@ -79,19 +79,25 @@ def pack_view(m: VoxelMap, field):
     array and `isnan` recovers validity; comparisons against NaN are
     False, so an invalid sample can never read as a crossing.
 
-    Single-scale fields return a brick-TILED view (``[B^3, 512]`` rows):
-    the NaN-encode runs on the compact ``[capacity, 512]`` table and one
-    row scatter materializes it — no dense 6D untiling (which OOMs at
-    1024^3) and ~16x less encode arithmetic.  Multiscale (occupancy)
-    fields keep the 3D dense view with the node pyramid showing through
-    unallocated space (`bfusion/rendering_impl.hpp:52`,
-    `octree.hpp:313-368`).
+    Both field classes return a brick-TILED view (``[B^3, 512]`` rows).
+    Single-scale: the NaN-encode runs on the compact ``[capacity, 512]``
+    table and one row scatter materializes it — no dense 6D untiling
+    (which OOMs at 1024^3) and ~16x less encode arithmetic.  Multiscale
+    (occupancy): unallocated rows read the deepest allocated node value
+    for their cell (`octree.pack_tiled_multiscale`), matching the
+    reference's multiscale descend (`bfusion/rendering_impl.hpp:52`,
+    `octree.hpp:313-368`) at per-block granularity.
     """
     if field.multiscale_alloc:
-        dense = {c.name: octree.pack_dense_multiscale(m, c.name)
-                 .astype(jnp.float32) for c in m.channels}
-        valid = field.sample_valid(dense)
-        f = dense[field.select_channel]
+        # tiled multiscale view: node show-through is a per-block scalar
+        # (coarse octants are >= block-sized), so the whole view is one
+        # row scatter per channel over a [B^3] fill — replaces the dense
+        # [S^3] build (5 upsample passes + 6D transpose per channel,
+        # measured as most of OFusion's raycast-stage overhead vs SDF)
+        data = {c.name: octree.pack_tiled_multiscale(m, c.name)
+                .astype(jnp.float32) for c in m.channels}
+        valid = field.sample_valid(data)
+        f = data[field.select_channel]
         return {"F": jnp.where(valid, f, jnp.nan)}
 
     # tiled path: encode on the block table, scatter rows once
@@ -324,7 +330,9 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
             refine: str = "secant",
             inside_any=None,
             row_range=None,
-            w2_budget: int = 8192) -> RaycastResult:
+            w2_budget: int = 8192,
+            scan_stride: float = 0.5,
+            midsolve: bool = False) -> RaycastResult:
     """Full raycastKernel (`rendering.cpp:50-90`): vertex + normal maps.
 
     Pipeline: block-splat start depths (phase 1, ~12k scattered elements)
@@ -376,12 +384,15 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     # fine scan at half ray resolution when the image is dense enough (the
     # full-res refine below then re-solves per pixel)
     half_res = (H % 2 == 0) and (W % 2 == 0) and W >= 160
-    # window: covers the splatted block's extent plus the band; step half
-    # the band thickness.  (0.75 * thickness — the reference's largestep —
-    # was measured at +2 fps but ATE 1.73 -> 2.23 cm at -z1 and 2.53 ->
-    # 4.59 cm at the canonical -z4: the wider linear-solve baseline hurts
-    # more than the refine pass recovers.  Documented negative result.)
-    fine_step = 0.5 * thickness
+    # window: covers the splatted block's extent plus the band; step
+    # ``scan_stride`` band thicknesses (default half).  (0.75 * thickness
+    # alone — the reference's largestep — was measured at +2 fps but ATE
+    # 1.73 -> 2.23 cm at -z1 and 2.53 -> 4.59 cm at the canonical -z4:
+    # the wider linear-solve baseline hurts more than the refine pass
+    # recovers.  ``midsolve`` adds a half-res secant re-solve between the
+    # scan and the full-res refine to pull the baseline back inside the
+    # band when a coarse stride is used.)
+    fine_step = scan_stride * thickness
     fine_span = span_factor * diag + 2.0 * thickness
     n_fine = int(np.clip(np.ceil(fine_span / fine_step) + 1, 8, 48))
     fine_span = n_fine * fine_step
@@ -446,6 +457,16 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         z_hit = jnp.where(f1.hit, f1.z_hit, z2)
     else:
         hit, z_hit = f1.hit, f1.z_hit
+
+    if midsolve:
+        # half-res secant re-solve: with a coarse scan stride the linear
+        # solve between (possibly truncation-clamped) scan samples can be
+        # off by ~stride/2; two samples well inside the band re-anchor z
+        # before the full-res refine (whose +/-0.7*thickness window would
+        # otherwise straddle the band edge and re-solve between clamped
+        # values).
+        z_hit = _midsolve(m, dense, field, origin, fd, z_hit, hit,
+                          0.35 * thickness)
 
     z_half, hit_half = z_hit, hit          # pre-upsample (hybrid normals)
     ref_extras = None
@@ -656,6 +677,30 @@ def _refine(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta):
     # (f_lo, f_hi, pair) feed the hybrid normals' per-pixel along-ray
     # derivative — already gathered, free to return
     return jnp.where(crossing, z_new, z_hit), hit & ~miss, f_lo, f_hi, pair
+
+
+def _midsolve(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta):
+    """Half-res secant correction of the scan's crossing estimate: sample
+    at z +/- delta and re-solve the linear crossing when a valid
+    outside->inside pair brackets it.  Never drops hits (unlike `_refine`
+    the rays here are the scan's own, so a non-bracketing pair just means
+    the estimate was already within delta of the surface)."""
+    inv_vs = m.inverse_voxel_size
+
+    def sample(z):
+        pos = (origin + dirs * z[..., None]) * inv_vs
+        f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan)
+        return f
+
+    f_lo = sample(z_hit - delta)
+    f_hi = sample(z_hit + delta)
+    pair = ~jnp.isnan(f_lo) & ~jnp.isnan(f_hi)
+    crossing = pair & ~field.is_inside(f_lo) & field.is_inside(f_hi) & hit
+    denom = f_lo - f_hi
+    denom = jnp.where(jnp.abs(denom) < 1e-12, -1e-12, denom)
+    frac = (f_hi - field.surf_boundary) / denom
+    z_new = z_hit + delta + 2.0 * delta * frac
+    return jnp.where(crossing, z_new, z_hit)
 
 
 def _grad3(m: VoxelMap, dense, field, pos_world):

@@ -241,6 +241,41 @@ class TestInterpMultiscale:
         assert a == b
 
 
+class TestPackTiledMultiscale:
+    def test_matches_pack_dense_multiscale(self):
+        """The tiled multiscale view (per-block node show-through + leaf
+        row scatter) must read identically to the dense multiscale build
+        at every voxel."""
+        m = make_map(size=64)
+        # node-level values at two levels
+        m = octree.allocate_octants(m, jnp.array([[0, 0, 0], [32, 0, 16]],
+                                                 jnp.int32),
+                                    jnp.array([1, 2]), jnp.ones((2,), bool))
+        for level, val in [(1, 3.0), (2, -7.0)]:
+            nv = dict(m.node_values[level])
+            nv["v"] = jnp.where(m.node_alloc[level],
+                                jnp.float32(val), nv["v"])
+            node_values = list(m.node_values)
+            node_values[level] = nv
+            m = m.replace(node_values=node_values)
+        # plus some leaf blocks with brick data (overlapping octant 1)
+        m = alloc_voxels(m, [[0, 0, 0], [8, 16, 8], [48, 48, 48]])
+        rng = np.random.default_rng(2)
+        vox = dict(m.voxels)
+        vox["v"] = jnp.asarray(rng.standard_normal(vox["v"].shape),
+                               jnp.float32)
+        m = m.replace(voxels=vox)
+
+        dense = np.asarray(octree.pack_dense_multiscale(m, "v"))
+        tiled = np.asarray(octree.pack_tiled_multiscale(m, "v"))
+        B = m.blocks_per_edge
+        pts = rng.integers(0, 64, (500, 3))
+        for x, y, z in pts:
+            row = (x // 8 * B + y // 8) * B + z // 8
+            col = (x % 8) + (y % 8) * 8 + (z % 8) * 64
+            assert tiled[row, col] == dense[x, y, z], (x, y, z)
+
+
 class TestLargeMapStructural:
     def test_2048_map_allocates_and_reads(self):
         """2048^3 maps (the multi-host BASELINE config) work structurally:
