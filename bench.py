@@ -85,30 +85,33 @@ def main():
     # gathers, pack, splat) shrinks with it.
     # The reference's canonical lr-traj2 command integrates every 4th
     # frame (-z 4, BASELINE.md / reference README.md:77-81).  This config
-    # integrates TWICE as often (-z 2) and still beats the -z 4 run on
-    # both axes (65.1 fps @ ATE 2.27 cm vs 57.7 @ 2.54 — bench_data/
-    # ate_icp_256_hybrid_id2_ib3072_z2.json): strictly more fusion work
-    # per second at better accuracy.  Headline knobs (ATE-validated in
+    # integrates EVERY frame (-z 1) and still beats the -z 4 run on both
+    # axes (64.4 fps @ ATE 2.27 cm vs 57.7 @ 2.54 — bench_data/
+    # ate_icp_256_hybrid_id2_ib3072_ss1.json): 4x the canonical fusion
+    # rate at better accuracy.  Headline knobs (ATE-validated in
     # bench_data/): hybrid normals (half-res 6-tap gradient + per-pixel
     # along-ray correction), integrate_budget (frustum-compacted fusion
-    # rows), icp_finest_decimate 2 (stride-2 finest ICP level).  Quality
-    # records: 57.9 fps @ 1.91 cm (-z 1), 40.2 fps @ 1.73 cm (full ICP,
+    # rows), icp_finest_decimate 2 (stride-2 finest ICP level),
+    # scan_stride 1.0 (band-thickness fine-scan step; the full-res refine
+    # re-solves per pixel).  Quality records: 62.6 fps @ 2.10 cm (+
+    # midsolve), 57.9 @ 1.91 (scan_stride 0.5), 40.2 @ 1.73 (full ICP,
     # volume normals).
     cfg = Configuration(volume_resolution=(SIZE,) * 3, volume_size=(4.8,) * 3,
-                        pyramid=(10, 5, 4), integration_rate=2,
+                        pyramid=(10, 5, 4), integration_rate=1,
                         block_capacity=6144,
                         raycast_normals="hybrid",
                         integrate_budget=3072,
-                        icp_finest_decimate=2)
+                        icp_finest_decimate=2,
+                        raycast_scan_stride=1.0)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
 
     fn = functools.partial(
         process_frame, field=slam.field, iterations=slam.iterations,
-        tracking_rate=1, integration_rate=2, bilateral=False,
+        tracking_rate=1, integration_rate=1, bilateral=False,
         icp_threshold=cfg.icp_threshold,
         use_gt=False, neg_y=False, normals="hybrid",
-        integrate_budget=3072, finest_decimate=2)
+        integrate_budget=3072, finest_decimate=2, scan_stride=1.0)
 
     k_dev = jnp.asarray(k)
     eye = jnp.eye(4, dtype=jnp.float32)

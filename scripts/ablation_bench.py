@@ -33,7 +33,12 @@ def main():
     import jax.numpy as jnp
     from supereight_tpu.config import Configuration
     from supereight_tpu.pipeline import DenseSLAMSystem
+    from supereight_tpu.pipeline import camera, raycast
     from supereight_tpu.pipeline import system as psys
+    from supereight_tpu.pipeline.constants import NEAR_PLANE, FAR_PLANE
+
+    field_name = "ofusion" if "--field" in sys.argv and \
+        sys.argv[sys.argv.index("--field") + 1] == "ofusion" else "sdf"
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     z = np.load(os.path.join(here, "bench_data/synthetic_256_frames.npz"))
@@ -48,15 +53,17 @@ def main():
     gt_dev = jnp.asarray(poses)
 
     def run_variant(name, *, skip_raycast=False, skip_integrate=False,
-                    use_gt=False, chunk=16, nf=NF):
+                    use_gt=False, chunk=16, nf=NF, stale_view=False):
         # the bench.py headline knob set (hybrid normals, budgeted fusion,
         # right-sized capacity) so the stage deltas describe the shipping
         # configuration
         cfg = Configuration(volume_resolution=(SIZE,) * 3,
                             volume_size=(4.8,) * 3, pyramid=(10, 5, 4),
                             integration_rate=1, block_capacity=6144,
+                            mu=0.1 if field_name == "sdf" else 0.05,
                             raycast_normals="hybrid",
-                            integrate_budget=3072)
+                            integrate_budget=3072,
+                            field_type=field_name)
         slam = DenseSLAMSystem((H, W), cfg)
         slam.setPose(poses[0])
         field = slam.field
@@ -72,10 +79,24 @@ def main():
                                                field=field,
                                                integration_rate=1,
                                                integrate_budget=3072)
-            if not skip_raycast:
+            if stale_view:
+                # raycast against a FROZEN packed view: isolates the
+                # per-frame pack_view cost (full - stale_view); all ray
+                # phases keep their fixed shapes so compute is unchanged
+                view = state.pose @ camera.inverse_camera_matrix(k_dev)
+                rc = raycast.raycast(state.map, field, view, H, W,
+                                     NEAR_PLANE, FAR_PLANE,
+                                     normals="hybrid", dense=dense0)
+                state = state.replace(ref_vertex=rc.vertex,
+                                      ref_normal=rc.normal,
+                                      raycast_pose=state.pose)
+            elif not skip_raycast:
                 state = psys.raycasting_stage(state, k_dev, frame,
                                               field=field, normals="hybrid")
             return state
+
+        dense0 = raycast.pack_view(slam.state.map, field) \
+            if stale_view else None
 
         def scan_step(state, inp):
             depth, frame, gt = inp
@@ -108,8 +129,11 @@ def main():
         run_variant("no_integrate", skip_integrate=True)
         run_variant("gt_track", use_gt=True)
         run_variant("gt_only_integrate", use_gt=True, skip_raycast=True)
+        run_variant("stale_view", stale_view=True)
         here2 = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        with open(os.path.join(here2, "bench_data/ablation.json"), "w") as fh:
+        suffix = "" if field_name == "sdf" else "_ofusion"
+        with open(os.path.join(here2, f"bench_data/ablation{suffix}.json"),
+                  "w") as fh:
             json.dump(results, fh, indent=1)
         print(json.dumps(results))
         return

@@ -57,6 +57,9 @@ def main():
     int_budget = _intflag("--int-budget", 0)
     alloc_stride = float(sys.argv[sys.argv.index("--alloc-stride") + 1]) \
         if "--alloc-stride" in sys.argv else 1.0
+    scan_stride = float(sys.argv[sys.argv.index("--scan-stride") + 1]) \
+        if "--scan-stride" in sys.argv else 0.5
+    midsolve = "--midsolve" in sys.argv
 
     import jax
     import jax.numpy as jnp
@@ -87,6 +90,8 @@ def main():
                         raycast_w2_budget=w2b,
                         integrate_budget=int_budget,
                         alloc_stride=alloc_stride,
+                        raycast_scan_stride=scan_stride,
+                        raycast_midsolve=midsolve,
                         field_type=field_name)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
@@ -101,7 +106,8 @@ def main():
                            warp=warp, lazy_assoc=lazy_assoc,
                            finest_decimate=icp_decim, w2_budget=w2b,
                            integrate_budget=int_budget,
-                           alloc_stride=alloc_stride)
+                           alloc_stride=alloc_stride,
+                           scan_stride=scan_stride, midsolve=midsolve)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -156,6 +162,8 @@ def main():
         "w2_budget": w2b,
         "integrate_budget": int_budget,
         "alloc_stride": alloc_stride,
+        "scan_stride": scan_stride,
+        "midsolve": midsolve,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
         "ate_max_m": round(ate["max"], 4),
@@ -189,6 +197,10 @@ def main():
         mode += f"_ib{int_budget}"
     if alloc_stride != 1.0:
         mode += f"_as{alloc_stride:g}"
+    if scan_stride != 0.5:
+        mode += f"_ss{scan_stride:g}"
+        if midsolve:
+            mode += "m"
     if int_rate != 1:
         mode += f"_z{int_rate}"
     path = os.path.join(here,

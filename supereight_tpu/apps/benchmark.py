@@ -68,6 +68,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                             "forward3"))
     p.add_argument("--icp-decim", type=int, default=1,
                    help="stride the finest ICP level's input maps")
+    p.add_argument("--scan-stride", type=float, default=0.5,
+                   help="fine-scan step in band thicknesses")
+    p.add_argument("--midsolve", action="store_true",
+                   help="half-res secant re-solve (pairs with a coarse "
+                        "--scan-stride)")
     p.add_argument("--int-budget", type=int, default=0,
                    help="fuse at most this many frustum-candidate blocks "
                         "per frame (0 = stream the whole table)")
@@ -110,6 +115,8 @@ def main(argv=None):
         raycast_warp=args.warp,
         raycast_normals=args.normals,
         icp_finest_decimate=args.icp_decim,
+        raycast_scan_stride=args.scan_stride,
+        raycast_midsolve=args.midsolve,
         integrate_budget=args.int_budget,
     )
 

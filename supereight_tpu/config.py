@@ -55,6 +55,11 @@ class Configuration:
                                            # association descriptors of
                                            # the costliest level)
     raycast_span_factor: float = 1.6       # fine window: span*diag + 2*band
+    raycast_scan_stride: float = 0.5       # fine-scan step, in band
+                                           # thicknesses (0.5 = canonical)
+    raycast_midsolve: bool = False         # half-res secant re-solve between
+                                           # scan and full-res refine (pairs
+                                           # with a coarse scan_stride)
     raycast_w2_budget: int = 8192          # compacted second-window ray
                                            # budget (each slot costs a full
                                            # sample column whether used or

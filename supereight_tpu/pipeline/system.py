@@ -110,6 +110,8 @@ class DenseSLAMSystem:
                 lazy_assoc=config.icp_lazy_assoc,
                 finest_decimate=config.icp_finest_decimate,
                 w2_budget=config.raycast_w2_budget,
+                scan_stride=config.raycast_scan_stride,
+                midsolve=config.raycast_midsolve,
                 integrate_budget=config.integrate_budget,
                 alloc_stride=config.alloc_stride,
             ),
@@ -141,7 +143,9 @@ class DenseSLAMSystem:
                 refine=config.raycast_refine,
                 raycast_rate=config.raycast_rate,
                 warp=config.raycast_warp,
-                w2_budget=config.raycast_w2_budget)),
+                w2_budget=config.raycast_w2_budget,
+                scan_stride=config.raycast_scan_stride,
+                midsolve=config.raycast_midsolve)),
         }
 
     # ---- reference-parity accessors ----
@@ -401,7 +405,9 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                      refine: str = "secant",
                      raycast_rate: int = 1,
                      warp: bool = False,
-                     w2_budget: int = 8192) -> FrameState:
+                     w2_budget: int = 8192,
+                     scan_stride: float = 0.5,
+                     midsolve: bool = False) -> FrameState:
     """raycasting() (`DenseSLAMSystem.cpp:191-204`): refresh the reference
     model maps from the current pose (only after the bootstrap frames).
 
@@ -426,7 +432,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                                  FAR_PLANE, normals=normals,
                                  second_window=second_window,
                                  span_factor=span_factor, grad_table=grad,
-                                 refine=refine, w2_budget=w2_budget)
+                                 refine=refine, w2_budget=w2_budget,
+                                 scan_stride=scan_stride, midsolve=midsolve)
             return rc.vertex, rc.normal, pose
 
         def warp_fn(args):
@@ -455,7 +462,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
         rc = raycast.raycast(m, field, view, H, W, NEAR_PLANE, FAR_PLANE,
                              normals=normals, second_window=second_window,
                              span_factor=span_factor, grad_table=grad,
-                             refine=refine, w2_budget=w2_budget)
+                             refine=refine, w2_budget=w2_budget,
+                             scan_stride=scan_stride, midsolve=midsolve)
         return rc.vertex, rc.normal, pose
 
     def skip_fn(args):
@@ -480,6 +488,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   lazy_assoc: bool = False,
                   finest_decimate: int = 1,
                   w2_budget: int = 8192,
+                  scan_stride: float = 0.5,
+                  midsolve: bool = False,
                   integrate_budget: int = 0,
                   alloc_stride: float = 1.0) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
@@ -498,4 +508,5 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                             second_window=second_window,
                             span_factor=span_factor, refine=refine,
                             raycast_rate=raycast_rate, warp=warp,
-                            w2_budget=w2_budget)
+                            w2_budget=w2_budget, scan_stride=scan_stride,
+                            midsolve=midsolve)

@@ -118,6 +118,25 @@ class TestCrossingExactness:
         n = np.asarray(rc.normal)
         assert n[H // 2, W // 2, 2] > 0.9
 
+    def test_coarse_stride_midsolve_recovers_depth(self):
+        """scan_stride=1.0 halves the scan samples; the half-res secant
+        midsolve must pull the crossing estimate back to canonical-stride
+        accuracy (the coarse linear solve alone can sit ~stride/2 off,
+        between truncation-clamped samples)."""
+        m, field = _wall_map(wall_z=3.0, mu=0.3)
+        view, pose = _front_view()
+        rc_c = raycast.raycast(m, field, view, H, W, 0.4, 4.0,
+                               scan_stride=1.0, midsolve=False)
+        rc_m = raycast.raycast(m, field, view, H, W, 0.4, 4.0,
+                               scan_stride=1.0, midsolve=True)
+        t_c = np.asarray(rc_c.t_hit)
+        t_m = np.asarray(rc_m.t_hit)
+        assert (t_m > 0).mean() > 0.9
+        err_c = abs(t_c[H // 2, W // 2] - 2.4)
+        err_m = abs(t_m[H // 2, W // 2] - 2.4)
+        assert err_m < 0.5 * VS, f"midsolve depth error {err_m:.4f} m"
+        assert err_m <= err_c + 1e-6
+
     def test_unobserved_gap_does_not_cross(self):
         """Weight-0 voxels between the camera and the wall must not
         produce crossings (`rendering_impl.hpp:49-53` skip semantics)."""
