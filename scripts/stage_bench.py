@@ -89,10 +89,6 @@ def main():
     view = st.pose @ camera.inverse_camera_matrix(jnp.asarray(k))
     sub["pack_view"] = timeit("raycast/pack_view",
                               lambda mm: rc.pack_view(mm, field), m)
-    dense = jax.jit(lambda mm: rc.pack_view(mm, field))(m)
-    jax.block_until_ready(dense)
-    sub["build_mip"] = timeit("raycast/build_mip",
-                              lambda d: rc.build_mip(m, field, d), dense)
     sub["raycast_full"] = timeit(
         "raycast/full",
         lambda mm, v: rc.raycast(mm, field, v, H, W, 0.4, 4.0), m, view)

@@ -620,9 +620,13 @@ def pack_tiled_multiscale(m: VoxelMap, channel: str) -> jnp.ndarray:
     live = slot_mask(m)
     lin = bc[:, 0] * B * B + bc[:, 1] * B + bc[:, 2]
     tgt = jnp.where(live, lin, B * B * B)
-    flat = jnp.broadcast_to(fill.reshape(B * B * B, 1),
-                            (B * B * B, BLOCK_VOXELS))
-    return flat.at[tgt].set(m.voxels[channel], mode="drop")
+    # constant-fill scatter (same form as pack_tiled — a scatter whose
+    # operand is a broadcast of a computed array wedged the TPU backend's
+    # compile for >55 min), then one dense select applies the node fill
+    flat = jnp.full((B * B * B, BLOCK_VOXELS), spec.empty, dtype=spec.dtype)
+    flat = flat.at[tgt].set(m.voxels[channel], mode="drop")
+    has_leaf = (m.block_index >= 0).reshape(-1)
+    return jnp.where(has_leaf[:, None], flat, fill.reshape(-1, 1))
 
 
 def unpack_dense(m: VoxelMap, channel: str, dense: jnp.ndarray) -> VoxelMap:

@@ -128,35 +128,6 @@ def pack_view(m: VoxelMap, field):
     return {"F": flat}
 
 
-def build_mip(m: VoxelMap, field, dense=None, factor: int = 4):
-    """1/factor-res pooled field (legacy coarse-sweep view; the raycaster
-    uses _splat_bounds now).  Pooling keeps the 'most inside' value so thin
-    surfaces survive (min for SDF, max for occupancy); invalid (NaN)
-    samples pool as 'outside'."""
-    if dense is None or dense["F"].ndim != 3:
-        pack = octree.pack_dense_multiscale if field.multiscale_alloc \
-            else octree.pack_dense
-        dd = {c.name: pack(m, c.name).astype(jnp.float32)
-              for c in m.channels}
-        valid = field.sample_valid(dd)
-        dense = {"F": jnp.where(valid, dd[field.select_channel], jnp.nan)}
-    outside = 1.0 if field.invert_normals else -1.0
-    fa = jnp.nan_to_num(dense["F"], nan=outside)
-    op = jnp.minimum if field.invert_normals else jnp.maximum
-    # per-axis strided pooling: a reshape(n,f,n,f,n,f) reduce materializes
-    # intermediates whose trailing dims of `factor` pad 16-32x on TPU
-    # (OOM at 512^3); strided slices keep tile-friendly layouts
-    for axis in range(3):
-        idx = [slice(None)] * 3
-        idx[axis] = slice(0, None, factor)
-        acc = fa[tuple(idx)]
-        for off in range(1, factor):
-            idx[axis] = slice(off, None, factor)
-            acc = op(acc, fa[tuple(idx)])
-        fa = acc
-    return fa
-
-
 def _sample_volume(vol, pos_vox, size, fill):
     """Nearest-voxel lookup with out-of-bounds fill.  ``vol`` is either a
     dense ``[S,S,S]`` volume or a brick-tiled ``[B^3, 512]`` row view
