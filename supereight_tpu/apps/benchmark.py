@@ -17,7 +17,8 @@ import time
 import numpy as np
 
 from supereight_tpu.config import Configuration
-from supereight_tpu.io import groundtruth, raw, serialise
+import supereight_tpu.io as seio
+from supereight_tpu.io import groundtruth, serialise
 from supereight_tpu.pipeline import DenseSLAMSystem
 from supereight_tpu.utils.perfstats import Stats
 
@@ -86,7 +87,9 @@ def _triple(text, cast):
 
 def main(argv=None):
     args = parse_args(argv)
-    reader = raw.RawReader(args.input_file)
+    # reader factory (reference createReader): native mmap+prefetch .raw
+    # reader when csrc is built, numpy fallback, or an ICL scene directory
+    reader = seio.create_reader(args.input_file)
     vol_size = _triple(args.volume_size, float)
     vol_res = _triple(args.volume_resolution, int)
 

@@ -9,9 +9,17 @@ from . import groundtruth, raw, serialise, synthetic, vtk  # noqa: F401
 
 def create_reader(path: str):
     """Reader factory (reference ``createReader``, `se_apps/src/reader.cpp:22`):
-    picks by input type — .raw stream or an ICL-NUIM scene directory."""
+    picks by input type — .raw stream (native mmap+prefetch reader when
+    csrc is built, seek-based numpy fallback) or an ICL-NUIM scene
+    directory."""
     import os
     if os.path.isdir(path):
         from .scene import SceneDepthReader
         return SceneDepthReader(path)
+    from . import native
+    if native.available():
+        try:
+            return native.NativeRawReader(path)
+        except (IOError, RuntimeError):
+            pass            # corrupt header etc.: fall back to strict numpy
     return raw.RawReader(path)

@@ -78,6 +78,16 @@ class NativeRawReader:
             raise IndexError(frame)
         return out
 
+    def read(self, frame: int):
+        """RawReader-interface adapter: (depth uint16 [H, W] in mm, rgb).
+        The native path decodes to meters; the round back to mm is exact
+        at ratio 1 (the stream stores mm).  rgb is not decoded (the
+        pipeline never consumes it) — zeros keep the tuple shape."""
+        d = self.read_float(frame)
+        mm = np.rint(d * 1000.0).astype(np.uint16)
+        rgb = np.zeros((self.height, self.width, 3), np.uint8)
+        return mm, rgb
+
     def __len__(self):
         return self.num_frames
 

@@ -66,6 +66,7 @@ def map_sharding(mesh: Mesh):
 def shard_state(state: FrameState, mesh: Mesh) -> FrameState:
     """Place a FrameState on the mesh: map sharded, everything else
     replicated."""
+    check_divisible(state.map.capacity, mesh)
     repl = NamedSharding(mesh, P())
     state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
     return state.replace(map=map_sharding(mesh)(state.map))

@@ -85,3 +85,35 @@ class TestCollidesWith:
         st = int(collision.collides_with(m, (21, 2, 2), (2, 2, 2),
                                          collision.sdf_collision_test))
         assert st == CollisionStatus.unseen
+
+
+class TestOFusionPredicate:
+    def test_ofusion_collision_status(self):
+        """Occupancy-field collision predicate (log-odds > 0 = occupied,
+        fused free space = empty, timestamp 0 = unseen)."""
+        OCH = (ChannelSpec(name="occupancy", dtype=jnp.float32,
+                           init=0.0, empty=0.0),
+               ChannelSpec(name="timestamp", dtype=jnp.float32,
+                           init=0.0, empty=0.0))
+        m = octree.init(64, 4.8, OCH, capacity=128)
+        coords = np.stack(np.meshgrid(np.arange(1, 3), [0], [0],
+                                      indexing="ij"), -1).reshape(-1, 3)
+        m = octree.allocate_blocks(m, jnp.asarray(coords, jnp.int32),
+                                   jnp.ones((coords.shape[0],), bool))
+
+        def fill(vals, coords):
+            x = coords[..., 0]
+            occ = jnp.where((x >= 16) & (x < 20), 5.0, -5.0)
+            ts = jnp.where((x >= 8) & (x < 20), 3.0, 0.0)
+            return {"occupancy": occ, "timestamp": ts}
+
+        m = octree.axis_aligned_map(m, fill)
+        occ = int(collision.collides_with(m, (17, 2, 2), (2, 2, 2),
+                                          collision.ofusion_collision_test))
+        emp = int(collision.collides_with(m, (9, 2, 2), (2, 2, 2),
+                                          collision.ofusion_collision_test))
+        uns = int(collision.collides_with(m, (21, 2, 2), (2, 2, 2),
+                                          collision.ofusion_collision_test))
+        assert occ == int(CollisionStatus.occupied)
+        assert emp == int(CollisionStatus.empty)
+        assert uns == int(CollisionStatus.unseen)

@@ -134,3 +134,44 @@ def test_partitioned_map_roundtrip(tmp_path):
                                   np.asarray(m2.part_counts))
     np.testing.assert_array_equal(np.asarray(m.block_index),
                                   np.asarray(m2.block_index))
+
+
+class TestBlockList:
+    def test_save_block_list(self, tmp_path):
+        """saveBlockList parity (`vtk-io.h:211`): allocated block coords
+        as text rows."""
+        from supereight_tpu.io import vtk as vtkio
+        chans = (ChannelSpec(name="v", dtype=jnp.float32, init=0.0,
+                             empty=-1.0),)
+        m = octree.init(32, 2.0, chans, capacity=128)
+        m = octree.allocate_blocks(
+            m, jnp.asarray([[0, 0, 0], [2, 3, 1], [1, 1, 1]]),
+            jnp.ones((3,), bool))
+        p = tmp_path / "blocks.txt"
+        vtkio.save_block_list(str(p), m)
+        rows = [tuple(map(int, ln.split()))
+                for ln in p.read_text().splitlines()]
+        assert len(rows) == int(m.n_blocks)
+        coords = np.asarray(octree.block_coords_table(m))[:len(rows)]
+        assert sorted(rows) == sorted(map(tuple, coords.tolist()))
+
+
+class TestCreateReader:
+    def test_factory_prefers_native_for_raw(self, tmp_path):
+        """create_reader parity (`reader.cpp:22`): .raw goes to the
+        prefetching native reader when csrc is built (numpy fallback
+        otherwise) and both expose the same read() interface."""
+        import supereight_tpu.io as seio
+        from supereight_tpu.io import native, raw, synthetic
+        base = str(tmp_path / "seq")
+        synthetic.write_dataset(base, 3, H=48, W=64)
+        r = seio.create_reader(base + ".raw")
+        if native.available():
+            assert isinstance(r, native.NativeRawReader)
+        else:
+            assert isinstance(r, raw.RawReader)
+        assert len(r) == 3
+        mm, rgb = r.read(1)
+        assert mm.shape == (48, 64) and mm.dtype == np.uint16
+        ref = raw.RawReader(base + ".raw").read(1)[0]
+        np.testing.assert_array_equal(mm, ref)

@@ -241,6 +241,30 @@ class TestInterpMultiscale:
         assert a == b
 
 
+class TestUnpackDense:
+    def test_pack_unpack_roundtrip(self):
+        """unpack_dense inverts pack_dense on live blocks (the dense-edit
+        write-back path, e.g. for axis-aligned bulk edits done in dense
+        space)."""
+        m = alloc_voxels(make_map(), [[0, 0, 0], [16, 8, 24], [40, 40, 40]])
+        rng = np.random.default_rng(6)
+        vox = dict(m.voxels)
+        vox["v"] = jnp.asarray(rng.standard_normal(vox["v"].shape),
+                               jnp.float32)
+        m = m.replace(voxels=vox)
+        dense = octree.pack_dense(m, "v")
+        # perturb the dense volume, write back, re-pack: values must match
+        dense2 = dense * 2.0
+        m2 = octree.unpack_dense(m, "v", dense2)
+        live = np.asarray(octree.slot_mask(m))
+        a = np.asarray(m2.voxels["v"])[live]
+        b = np.asarray(m.voxels["v"])[live] * 2.0
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+        # voxel-level spot check through the dense round trip
+        assert float(octree.get(m2, "v", 17, 9, 25)) == \
+            float(dense2[17, 9, 25])
+
+
 class TestPackTiledMultiscale:
     def test_matches_pack_dense_multiscale(self):
         """The tiled multiscale view (per-block node show-through + leaf
