@@ -592,18 +592,13 @@ def pack_dense_multiscale(m: VoxelMap, channel: str) -> jnp.ndarray:
     return jnp.where(leaf_mask, leaf, base)
 
 
-def pack_tiled_multiscale(m: VoxelMap, channel: str) -> jnp.ndarray:
-    """Brick-tiled rows ``dtype[B^3, 512]`` where unallocated rows read the
-    deepest allocated node-pyramid value for their cell — the tiled
-    equivalent of :func:`pack_dense_multiscale` (reference multiscale
-    ``Octree::get``, `octree.hpp:313-368`).
-
-    Coarse octants are block-sized or larger, so the node show-through is
-    a single scalar per block-grid cell: the fill costs ``B^3`` work
-    (32k cells at 256^3) instead of :func:`pack_dense_multiscale`'s
-    ``block_level`` full ``S^3`` upsample passes plus the 6D untiling
-    transpose — the occupancy raycaster's per-frame view build drops from
-    ~10 dense-volume memory passes to one row scatter per channel."""
+def node_fill(m: VoxelMap, channel: str) -> jnp.ndarray:
+    """``dtype[B^3]``: the deepest allocated node-pyramid value over each
+    block-grid cell (``empty`` where no ancestor octant is allocated) —
+    the per-cell show-through of the reference's multiscale ``get``
+    (`octree.hpp:313-368`).  Coarse octants are always block-sized or
+    larger, so this is exact at block granularity and costs only ``B^3``
+    work (32k cells at 256^3)."""
     spec = _channel(m, channel)
     B = m.blocks_per_edge
     fill = jnp.full((B, B, B), spec.empty, dtype=spec.dtype)
@@ -616,6 +611,20 @@ def pack_tiled_multiscale(m: VoxelMap, channel: str) -> jnp.ndarray:
         up_m = jnp.repeat(jnp.repeat(jnp.repeat(mask, rep, 0), rep, 1),
                           rep, 2)
         fill = jnp.where(up_m, up_v, fill)
+    return fill.reshape(B * B * B)
+
+
+def pack_tiled_multiscale(m: VoxelMap, channel: str) -> jnp.ndarray:
+    """Brick-tiled rows ``dtype[B^3, 512]`` where unallocated rows read the
+    deepest allocated node-pyramid value for their cell — the tiled
+    equivalent of :func:`pack_dense_multiscale` (reference multiscale
+    ``Octree::get``, `octree.hpp:313-368`), built from :func:`node_fill`
+    so the view build is one row scatter + one dense select instead of
+    :func:`pack_dense_multiscale`'s ``block_level`` full ``S^3`` upsample
+    passes plus the 6D untiling transpose."""
+    spec = _channel(m, channel)
+    B = m.blocks_per_edge
+    fill = node_fill(m, channel)
     bc = block_coords_table(m)
     live = slot_mask(m)
     lin = bc[:, 0] * B * B + bc[:, 1] * B + bc[:, 2]
@@ -626,7 +635,7 @@ def pack_tiled_multiscale(m: VoxelMap, channel: str) -> jnp.ndarray:
     flat = jnp.full((B * B * B, BLOCK_VOXELS), spec.empty, dtype=spec.dtype)
     flat = flat.at[tgt].set(m.voxels[channel], mode="drop")
     has_leaf = (m.block_index >= 0).reshape(-1)
-    return jnp.where(has_leaf[:, None], flat, fill.reshape(-1, 1))
+    return jnp.where(has_leaf[:, None], flat, fill[:, None])
 
 
 def unpack_dense(m: VoxelMap, channel: str, dense: jnp.ndarray) -> VoxelMap:

@@ -89,16 +89,34 @@ def pack_view(m: VoxelMap, field):
     `octree.hpp:313-368`) at per-block granularity.
     """
     if field.multiscale_alloc:
-        # tiled multiscale view: node show-through is a per-block scalar
-        # (coarse octants are >= block-sized), so the whole view is one
-        # row scatter per channel over a [B^3] fill — replaces the dense
-        # [S^3] build (5 upsample passes + 6D transpose per channel,
-        # measured as most of OFusion's raycast-stage overhead vs SDF)
-        data = {c.name: octree.pack_tiled_multiscale(m, c.name)
-                .astype(jnp.float32) for c in m.channels}
+        # tiled multiscale view, built like the single-scale path: the
+        # NaN-encode runs on the compact [capacity, 512] table, ONE bf16
+        # row scatter materializes the leaf rows, and the node-pyramid
+        # show-through (a per-cell scalar — coarse octants are always
+        # >= block-sized, octree.node_fill) fills unallocated rows with
+        # one dense select.  Replaces the dense [S^3] build (5 upsample
+        # passes + 6D transpose per channel per frame).  bf16 is safe
+        # for crossing detection: log-odds near SURF_BOUNDARY=0 keep
+        # full relative precision; only the +/-1000 clamps round.
+        data = {c.name: m.voxels[c.name].astype(jnp.float32)
+                for c in m.channels}
         valid = field.sample_valid(data)
-        f = data[field.select_channel]
-        return {"F": jnp.where(valid, f, jnp.nan)}
+        enc = jnp.where(valid, data[field.select_channel], jnp.nan)
+        fills = {c.name: octree.node_fill(m, c.name).astype(jnp.float32)
+                 for c in m.channels}
+        fvalid = field.sample_valid(fills)
+        fill_cell = jnp.where(fvalid, fills[field.select_channel],
+                              jnp.nan).astype(jnp.bfloat16)
+        B = m.blocks_per_edge
+        bc = octree.block_coords_table(m)
+        live = octree.slot_mask(m)
+        lin = bc[:, 0] * B * B + bc[:, 1] * B + bc[:, 2]
+        tgt = jnp.where(live, lin, B * B * B)
+        flat = jnp.full((B * B * B, octree.BLOCK_VOXELS), jnp.nan,
+                        dtype=jnp.bfloat16)
+        flat = flat.at[tgt].set(enc.astype(jnp.bfloat16), mode="drop")
+        has_leaf = (m.block_index >= 0).reshape(-1)
+        return {"F": jnp.where(has_leaf[:, None], flat, fill_cell[:, None])}
 
     # tiled path: encode on the block table, scatter rows once
     data = {c.name: m.voxels[c.name].astype(jnp.float32)

@@ -72,6 +72,54 @@ class TestTiledView:
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-2)
 
 
+class TestMultiscaleView:
+    def test_pack_view_matches_dense_multiscale_semantics(self):
+        """The occupancy pack_view (compact-table NaN-encode + one bf16
+        row scatter + per-cell node fill) must sample like the dense
+        multiscale build: leaf values where allocated+fused, node values
+        through unallocated space, NaN where unobserved."""
+        field = make_field("ofusion", mu=0.05)
+        m = octree.init(SIZE, DIM, field.channels, capacity=256)
+        # a coarse allocated octant with fused node values
+        m = octree.allocate_octants(m, jnp.asarray([[32, 0, 0]], jnp.int32),
+                                    jnp.asarray([2]), jnp.ones((1,), bool))
+        lvl = 2
+        nv = dict(m.node_values[lvl])
+        nv["occupancy"] = jnp.where(m.node_alloc[lvl], -4.0,
+                                    nv["occupancy"])
+        nv["timestamp"] = jnp.where(m.node_alloc[lvl], 2.0, nv["timestamp"])
+        node_values = list(m.node_values)
+        node_values[lvl] = nv
+        m = m.replace(node_values=node_values)
+        # leaf blocks with mixed fused/unfused voxels
+        m = octree.allocate_blocks(m, jnp.asarray([[0, 0, 0], [1, 2, 1]]),
+                                   jnp.ones((2,), bool))
+
+        def fill(vals, coords):
+            z = coords[..., 2]
+            occ = jnp.where(z % 2 == 0, 3.0, -1.0)
+            ts = jnp.where(coords[..., 0] % 2 == 0, 1.0, 0.0)
+            return {"occupancy": occ, "timestamp": ts}
+
+        m = octree.axis_aligned_map(m, fill)
+        view = raycast.pack_view(m, field)
+        assert view["F"].ndim == 2
+
+        dd = {c.name: octree.pack_dense_multiscale(m, c.name)
+              .astype(jnp.float32) for c in m.channels}
+        want = np.asarray(jnp.where(field.sample_valid(dd),
+                                    dd["occupancy"], jnp.nan))
+        rng = np.random.default_rng(3)
+        pts = rng.integers(0, SIZE, (400, 3))
+        pos = jnp.asarray(pts + 0.5, jnp.float32)
+        got, _ = raycast._sample_volume(view["F"], pos, SIZE, jnp.nan)
+        got = np.asarray(got)
+        w = want[pts[:, 0], pts[:, 1], pts[:, 2]]
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(w))
+        ok = ~np.isnan(w)
+        np.testing.assert_allclose(got[ok], w[ok], rtol=1e-2)
+
+
 class TestSplatBounds:
     def test_start_bounds_bracket_the_wall(self):
         m, field = _wall_map(wall_z=3.0)
