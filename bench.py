@@ -1,203 +1,114 @@
-"""Benchmark: fused SLAM frames/s/chip at the canonical configuration.
+"""Benchmark orchestrator: runs the real bench (_bench_impl.py) in a
+subprocess and retries through axon-tunnel wedges.
 
-Canonical reference run (BASELINE.md): ICL-NUIM lr-traj2, SDF, 4.8 m volume,
-256^3 voxels, compute size 320x240, pyramid (10,5,4), integration every 4th
-frame (-z 4).  ICL-NUIM is not fetchable in this environment, so the frames
-come from the analytic-room renderer (supereight_tpu.io.synthetic) at
-identical resolution/intrinsics — the compute per frame (track every frame,
-allocate+integrate at the canonical rate, raycast every frame) is the same.
+Why this exists (round-2 postmortem, BENCH_r02.json): the axon TPU tunnel
+can hold a stale chip claim, making device init hang; round 2's single
+in-process watchdog gave up after one 240 s attempt and recorded 0.0 fps
+for the whole round.  The fix:
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 100 (the >=100 fused fps/chip target in
-BASELINE.json).
+  * THIS process never initializes the TPU backend (importing jax is safe;
+    only `jax.devices()` claims the chip), so it cannot hang.
+  * The measured bench runs as a child with its OWN SIGALRM watchdogs that
+    exit CLEANLY (a clean interpreter shutdown releases the claim; killing
+    a TPU client wedges it for ~1-2 h — .claude/skills/verify/SKILL.md).
+    Exit 3 = device init timed out; exit 4 = wedged mid-run.
+  * On a wedge the parent sleeps with backoff and retries — a stale claim
+    observed in round 2 cleared after ~1 h; we spread attempts over
+    ~35 min of init retries (and one long backoff after a mid-run wedge)
+    to maximize the chance the driver's capture lands a real number.
+  * Only the FINAL json line goes to stdout; child stderr streams through
+    so the driver's tail shows the attempt history.
 """
 
 from __future__ import annotations
 
-import functools
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+HERE = os.path.dirname(os.path.abspath(__file__))
+IMPL = os.path.join(HERE, "_bench_impl.py")
+
+# (init_timeout_s, run_timeout_s, sleep_before_s) per attempt.  Total worst
+# case if init never succeeds: 240+120+240+480+300 = ~23 min; if a run
+# wedges mid-compile the single long attempt dominates (<= ~40 min each).
+ATTEMPTS = [
+    dict(sleep=0, init=240, run=2400),
+    dict(sleep=120, init=240, run=2100),
+    dict(sleep=480, init=300, run=1800),
+]
 
 
-def _watchdog(seconds: int):
-    """The axon TPU tunnel can wedge on a stale chip claim (observed when a
-    client is killed mid-compile); a hung device init must not hang the
-    caller.  SIGALRM fires -> emit a zero-score line and exit cleanly."""
-    import signal
-
-    def on_alarm(signum, frame):
-        print("# TPU device init timed out (stale tunnel claim?)",
-              file=sys.stderr)
-        print(json.dumps({
-            "metric": "fused_frames_per_s_per_chip_256",
-            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
-            "error": "tpu_init_timeout",
-        }))
-        sys.exit(0)
-
-    signal.signal(signal.SIGALRM, on_alarm)
-    signal.alarm(seconds)
-    return lambda: signal.alarm(0)
+def _run_attempt(i: int, spec: dict, extra_argv: list[str]) -> dict | None:
+    if spec["sleep"]:
+        print(f"# bench attempt {i}: backing off {spec['sleep']}s "
+              f"(stale tunnel claim may clear)", file=sys.stderr, flush=True)
+        time.sleep(spec["sleep"])
+    env = dict(os.environ,
+               SE_BENCH_INIT_S=str(spec["init"]),
+               SE_BENCH_RUN_S=str(spec["run"]))
+    print(f"# bench attempt {i}: init watchdog {spec['init']}s, "
+          f"run watchdog {spec['run']}s", file=sys.stderr, flush=True)
+    proc = subprocess.Popen([sys.executable, IMPL] + extra_argv,
+                            stdout=subprocess.PIPE, stderr=sys.stderr,
+                            env=env, text=True)
+    # The child's alarms exit cleanly well before this outer ceiling; the
+    # kill path below is a last resort (e.g. the alarm itself can't
+    # interrupt a blocked C call).
+    outer = spec["init"] + spec["run"] + 300
+    try:
+        out, _ = proc.communicate(timeout=outer)
+    except subprocess.TimeoutExpired:
+        print(f"# bench attempt {i}: child unresponsive past {outer}s; "
+              f"sending SIGINT", file=sys.stderr, flush=True)
+        import signal
+        proc.send_signal(signal.SIGINT)
+        try:
+            out, _ = proc.communicate(timeout=60)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            out, _ = proc.communicate()
+    result = None
+    for line in (out or "").splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                result = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    if result is not None:
+        result["_rc"] = proc.returncode
+    return result
 
 
 def main():
-    cancel = _watchdog(240)
-    import jax
-    import jax.numpy as jnp
-    jax.devices()   # force backend init under the watchdog
-    cancel()
-    import signal
-    signal.alarm(2400)   # whole-bench ceiling; cancelled before the report
-    from supereight_tpu.config import Configuration
-    from supereight_tpu.io import synthetic
-    from supereight_tpu.pipeline import DenseSLAMSystem
-    from supereight_tpu.pipeline.system import process_frame
-
-    H, W = 240, 320
-    SIZE = 256
-    N_FRAMES = 96
-    k = np.asarray([240.6, 240.0, 160.0, 120.0], np.float32)
-
-    t0 = time.perf_counter()
-    import os
-    here = os.path.dirname(os.path.abspath(__file__))
-    for cache in (os.path.join(here, "bench_data/synthetic_256_frames.npz"),
-                  "/tmp/se_bench_frames.npz"):
-        if os.path.exists(cache):
-            z = np.load(cache)
-            depths, poses = z["depths"], z["poses"]
-            print(f"# loaded cached frames ({cache}) in "
-                  f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
-            break
-    else:
-        depths, poses, _ = synthetic.generate_sequence(
-            N_FRAMES, H=H, W=W, room_dim=4.8, k=tuple(k))
-        np.savez_compressed("/tmp/se_bench_frames.npz",
-                            depths=depths, poses=poses)
-        print(f"# generated {N_FRAMES} frames in {time.perf_counter()-t0:.1f}s",
-              file=sys.stderr)
-
-    # capacity right-sized to the scene (3304 live blocks with the exact
-    # allocator + 86% headroom); every capacity-proportional cost (patch
-    # gathers, pack, splat) shrinks with it.
-    # The reference's canonical lr-traj2 command integrates every 4th
-    # frame (-z 4, BASELINE.md / reference README.md:77-81).  This config
-    # integrates EVERY frame (-z 1) and still beats the -z 4 run on both
-    # axes (64.4 fps @ ATE 2.27 cm vs 57.7 @ 2.54 — bench_data/
-    # ate_icp_256_hybrid_id2_ib3072_ss1.json): 4x the canonical fusion
-    # rate at better accuracy.  Headline knobs (ATE-validated in
-    # bench_data/): hybrid normals (half-res 6-tap gradient + per-pixel
-    # along-ray correction), integrate_budget (frustum-compacted fusion
-    # rows), icp_finest_decimate 2 (stride-2 finest ICP level),
-    # scan_stride 1.0 (band-thickness fine-scan step; the full-res refine
-    # re-solves per pixel).  Quality records: 62.6 fps @ 2.10 cm (+
-    # midsolve), 57.9 @ 1.91 (scan_stride 0.5), 40.2 @ 1.73 (full ICP,
-    # volume normals).
-    cfg = Configuration(volume_resolution=(SIZE,) * 3, volume_size=(4.8,) * 3,
-                        pyramid=(10, 5, 4), integration_rate=1,
-                        block_capacity=6144,
-                        raycast_normals="hybrid",
-                        integrate_budget=3072,
-                        icp_finest_decimate=2,
-                        raycast_scan_stride=1.0)
-    slam = DenseSLAMSystem((H, W), cfg)
-    slam.setPose(poses[0])
-
-    fn = functools.partial(
-        process_frame, field=slam.field, iterations=slam.iterations,
-        tracking_rate=1, integration_rate=1, bilateral=False,
-        icp_threshold=cfg.icp_threshold,
-        use_gt=False, neg_y=False, normals="hybrid",
-        integrate_budget=3072, finest_decimate=2, scan_stride=1.0)
-
-    k_dev = jnp.asarray(k)
-    eye = jnp.eye(4, dtype=jnp.float32)
-
-    def scan_step(state, inp):
-        depth, frame = inp
-        return fn(state, depth, k_dev, frame, eye), ()
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def run_chunk(state, depth_chunk, frame0):
-        frames = frame0 + jnp.arange(depth_chunk.shape[0], dtype=jnp.int32)
-        state, _ = jax.lax.scan(scan_step, state, (depth_chunk, frames))
-        return state
-
-    CHUNK = 16
-    depths_dev = jnp.asarray(depths)
-
-    # warmup/compile + map bootstrap on the first chunk
-    t0 = time.perf_counter()
-    state = run_chunk(slam.state, depths_dev[:CHUNK],
-                      jnp.asarray(0, jnp.int32))
-    state.pose.block_until_ready()
-    print(f"# compile+first chunk: {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr)
-
-    # timed steady-state run
-    t0 = time.perf_counter()
-    n_timed = 0
-    for s in range(CHUNK, N_FRAMES, CHUNK):
-        state = run_chunk(state, depths_dev[s:s + CHUNK],
-                          jnp.asarray(s, jnp.int32))
-        n_timed += CHUNK
-    state.pose.block_until_ready()
-    dt = time.perf_counter() - t0
-    fps = n_timed / dt
-
-    # trajectory sanity (drift vs ground truth, meters)
-    final_err = float(np.linalg.norm(
-        np.asarray(state.pose)[:3, 3] - poses[N_FRAMES - 1][:3, 3]))
-    print(f"# {n_timed} frames in {dt:.2f}s; final pose err {final_err:.3f} m;"
-          f" blocks {int(state.map.n_blocks)}", file=sys.stderr)
-
-    # optional profiler trace (--profile): per-kernel timeline for the
-    # TICK/TOCK parity story (`se_shared/timings.h`); viewable with
-    # tensorboard or xprof
-    if "--profile" in sys.argv:
-        import jax.profiler
-        trace_dir = os.path.join(here, "bench_data/profile")
-        try:
-            with jax.profiler.trace(trace_dir):
-                state = run_chunk(state, depths_dev[:CHUNK],
-                                  jnp.asarray(0, jnp.int32))
-                state.pose.block_until_ready()
-            print(f"# profiler trace -> {trace_dir}", file=sys.stderr)
-        except Exception as e:  # axon tunnel may not support device traces
-            print(f"# profiler trace unavailable: {e}", file=sys.stderr)
-
-    # sidecar: stage breakdown (measured by scripts/ablation_bench.py's
-    # stage-skipping wall-clock diffs — the only trustworthy per-stage
-    # timing on this backend) next to the headline number
-    sidecar = {"fused_fps": round(fps, 2),
-               "blocks": int(state.map.n_blocks)}
-    abl_path = os.path.join(here, "bench_data/ablation.json")
-    if os.path.exists(abl_path):
-        with open(abl_path) as fh:
-            abl = json.load(fh)
-        if "full" in abl and "gt_track" in abl:
-            sidecar["stage_ms"] = {
-                "tracking_icp": round(abl["full"] - abl["gt_track"], 2),
-                "integration_alloc": round(
-                    abl.get("gt_only_integrate", 0.0), 2),
-                "raycasting": round(abl["gt_track"]
-                                    - abl.get("gt_only_integrate", 0.0), 2),
-                "frame_total": abl["full"],
-            }
-    with open(os.path.join(here, "bench_data/bench_sidecar.json"),
-              "w") as fh:
-        json.dump(sidecar, fh, indent=1)
-
-    signal.alarm(0)
-    print(json.dumps({
+    extra_argv = sys.argv[1:]
+    attempts_log = []
+    best = None
+    for i, spec in enumerate(ATTEMPTS, 1):
+        result = _run_attempt(i, spec, extra_argv)
+        if result is None:
+            attempts_log.append("no_output")
+            continue
+        attempts_log.append(result.get("error", "ok"))
+        if not result.get("error") and result.get("value", 0) > 0:
+            result.pop("_rc", None)
+            if len(attempts_log) > 1:
+                result["attempts"] = attempts_log
+            print(json.dumps(result), flush=True)
+            return
+        best = result
+    # All attempts failed: emit an honest zero with the attempt history.
+    out = best or {
         "metric": "fused_frames_per_s_per_chip_256",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 100.0, 3),
-    }))
+        "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+        "error": "bench_child_died",
+    }
+    out.pop("_rc", None)
+    out["attempts"] = attempts_log
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -156,6 +156,17 @@ def main(argv=None):
             due = t_start + frame * frame_period
             lag = time.perf_counter() - due
             if lag > frame_period:
+                # Dropped frame: still append the current (unchanged) pose
+                # and a TSV row so est_poses stays index-aligned with the
+                # ground truth for ATE/RPE (ADVICE r2), like the
+                # reference's per-frame log.
+                pose_np = np.asarray(slam.state.pose)
+                est_poses.append(pose_np)
+                pos = pose_np[:3, 3]
+                log.write(f"{frame}\t{time.perf_counter() - t0:.8f}\t"
+                          f"0\t0\t0\t0\t0\t0\t0\t"
+                          f"{pos[0]:.6f}\t{pos[1]:.6f}\t{pos[2]:.6f}\t"
+                          f"0\t0\n")
                 continue
             if lag < 0:
                 time.sleep(-lag)

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 MAX_COORD_BITS = 10            # bits per axis in a 30-bit block-key code
 MAX_COORD_BITS_32 = 9          # bits per axis a uint32 octant KEY can hold
@@ -118,7 +119,13 @@ def check_key_capacity(max_depth) -> None:
     to 9 bits/axis are chosen automatically below that).  Volumes beyond
     524288^3 voxels would silently truncate — fail loudly instead.
     (Block-granularity keys, :func:`block_key`, reach 8192^3 on uint32.)"""
-    if isinstance(max_depth, int) and max_depth > MAX_COORD_BITS_64:
+    if not isinstance(max_depth, (int, np.integer)):
+        # max_depth is structurally static (derived from the map size); a
+        # traced value would silently skip the overflow guard (ADVICE r2)
+        raise TypeError(
+            f"max_depth must be a static python int, got "
+            f"{type(max_depth).__name__}")
+    if max_depth > MAX_COORD_BITS_64:
         raise ValueError(
             f"octant morton keys support max_depth <= {MAX_COORD_BITS_64} "
             f"(524288^3 voxels); got max_depth={max_depth}.")

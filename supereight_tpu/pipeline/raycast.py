@@ -238,6 +238,26 @@ def _splat_bounds(m: VoxelMap, field, view, H: int, W: int,
                                   (3, 3), (1, 1), "SAME")
     tmax = jax.lax.reduce_window(tmax, -jnp.inf, jax.lax.max,
                                  (3, 3), (1, 1), "SAME")
+
+    # Near-field blind-zone fallback (ADVICE r2): a block's pixel footprint
+    # foot_r exceeds the 3x3-scatter + 3x3-pool reach (~2.4 cells) once it
+    # is closer than z_blind = 0.5*diag*fx/(2.4*g), so silhouette rays at
+    # the periphery of close blocks can end up with NO start bound and
+    # would never be scanned.  Rescue: cells with no splat whose wide
+    # neighbourhood holds such a close block inherit that neighbourhood's
+    # tmin as their start — the missed surface IS the close block, so one
+    # fine window anchored there covers it.  Activating these rays is
+    # descriptor-free (the fine scan is dense with an active mask); the
+    # only cost is two more dense reduce_windows on the tiny splat grid.
+    R = 12           # covers foot_r at the near plane for bench intrinsics
+    twide = -jax.lax.reduce_window(-tmin, -jnp.inf, jax.lax.max,
+                                   (2 * R + 1, 2 * R + 1), (1, 1), "SAME")
+    z_blind = 0.5 * diag * fx / (2.4 * g)
+    fallback = (~jnp.isfinite(tmin)) & (twide < z_blind)
+    tmin = jnp.where(fallback, twide, tmin)
+    # keep the fallback rays' far bound narrow (the near block only) so
+    # they don't flood the budgeted second-window pass
+    tmax = jnp.where(fallback, twide + diag, tmax)
     return tmin, tmax, g
 
 

@@ -262,5 +262,8 @@ def track(pose, depths, vertices, normals, ref_vertex, ref_normal,
     ok = (rmse <= 2e-2) & (st.count / n_px >= track_threshold)
     new_pose = jnp.where(ok, st.pose, old_pose)
     if d > 1:   # full-res status image for renderTrack / the TSV log
-        result = jnp.repeat(jnp.repeat(result, d, 0), d, 1)
+        H, W = vertices[0].shape[:2]
+        # crop: when d does not divide H/W the strided input has ceil(H/d)
+        # rows, so the repeat overshoots by up to d-1 (ADVICE r2)
+        result = jnp.repeat(jnp.repeat(result, d, 0), d, 1)[:H, :W]
     return new_pose, ok, result
