@@ -60,6 +60,7 @@ def main():
     scan_stride = float(sys.argv[sys.argv.index("--scan-stride") + 1]) \
         if "--scan-stride" in sys.argv else 0.5
     midsolve = "--midsolve" in sys.argv
+    near_rescue = "--no-rescue" not in sys.argv
 
     import jax
     import jax.numpy as jnp
@@ -92,6 +93,7 @@ def main():
                         alloc_stride=alloc_stride,
                         raycast_scan_stride=scan_stride,
                         raycast_midsolve=midsolve,
+                        raycast_near_rescue=near_rescue,
                         field_type=field_name)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
@@ -107,7 +109,8 @@ def main():
                            finest_decimate=icp_decim, w2_budget=w2b,
                            integrate_budget=int_budget,
                            alloc_stride=alloc_stride,
-                           scan_stride=scan_stride, midsolve=midsolve)
+                           scan_stride=scan_stride, midsolve=midsolve,
+                           near_rescue=near_rescue)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -164,6 +167,7 @@ def main():
         "alloc_stride": alloc_stride,
         "scan_stride": scan_stride,
         "midsolve": midsolve,
+        "near_rescue": near_rescue,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
         "ate_max_m": round(ate["max"], 4),
@@ -201,6 +205,8 @@ def main():
         mode += f"_ss{scan_stride:g}"
         if midsolve:
             mode += "m"
+    if not near_rescue:
+        mode += "_nr"
     if int_rate != 1:
         mode += f"_z{int_rate}"
     path = os.path.join(here,

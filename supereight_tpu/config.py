@@ -55,6 +55,9 @@ class Configuration:
                                            # association descriptors of
                                            # the costliest level)
     raycast_span_factor: float = 1.6       # fine window: span*diag + 2*band
+    raycast_near_rescue: bool = True       # activate no-splat rays near
+                                           # close blocks from the wide-pool
+                                           # tmin (ADVICE r2 blind zone)
     raycast_scan_stride: float = 0.5       # fine-scan step, in band
                                            # thicknesses (0.5 = canonical)
     raycast_midsolve: bool = False         # half-res secant re-solve between

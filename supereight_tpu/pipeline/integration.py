@@ -145,7 +145,8 @@ def allocate_sdf(m: VoxelMap, depth, pose, K, band: float,
 
 
 def sdf_wanted_mask(depth, pose, K, *, size: int, dim: float, band: float,
-                    decim: int = 1, row0=None, stride: float = 1.0):
+                    decim: int = 1, row0=None, stride: float = 1.0,
+                    row_share=None):
     """Dense bool[B,B,B] block-request mask from the per-pixel band march
     (the mask-producing core of :func:`allocate_sdf`; separated so the
     multi-device allocator can compute per-image-strip partial masks and
@@ -157,10 +158,18 @@ def sdf_wanted_mask(depth, pose, K, *, size: int, dim: float, band: float,
     spacing, exact; 2 halves the scatter descriptors — a block is then
     missed only when its whole band intersection along a sampled ray is
     under 2 voxels AND no neighbouring ray crosses it properly).
+    ``row_share = (dev, n_dev)`` keeps only every n_dev-th decimated ray
+    row (round-robin by device): the full mask is the OR of all shares
+    bit-for-bit regardless of ``decim``'s include-last-row border handling
+    (unlike a pixel-strip split) — used by the unified sharded frame.
     """
     inv_vs = size / dim
     d, vertex, direction, _, _ = _pixel_rays(depth, pose, K, decim,
                                              row0=row0)
+    if row_share is not None:
+        dev, n_dev = row_share
+        own = (jnp.arange(d.shape[0], dtype=jnp.int32) % n_dev) == dev
+        d = d * own[:, None].astype(d.dtype)   # d==0 rays never scatter
     n_steps = max(int(np.ceil(band * inv_vs / stride)), 1)
     # sample offsets from -band/2 toward the camera, voxel spacing
     # (`alloc_impl.hpp:88-90`: origin = vertex - band/2 * dir, step = band/n)
@@ -194,9 +203,24 @@ def allocate_ofusion(m: VoxelMap, depth, pose, K, band: float,
     is accepted for API compatibility and unused.
     """
     del mips
+    masks = ofusion_wanted_masks(m, depth, pose, K, band)
+    return octree.allocate_octant_masks(m, masks)
+
+
+def ofusion_wanted_masks(m: VoxelMap, depth, pose, K, band: float,
+                         row_share=None) -> List[jnp.ndarray]:
+    """Per-level dense octant-request masks for the occupancy march (the
+    mask-producing core of :func:`allocate_ofusion`; separated so the
+    sharded frame can psum-merge per-device partial masks).  ``row_share``
+    as in :func:`sdf_wanted_mask`: round-robin ray-row ownership whose OR
+    reproduces the full-frame masks exactly."""
     from .constants import FAR_PLANE
     decim = _alloc_decimation(m, depth.shape)
     d, vertex, direction, dist, _ = _pixel_rays(depth, pose, K, decim)
+    if row_share is not None:
+        dev, n_dev = row_share
+        own = (jnp.arange(d.shape[0], dtype=jnp.int32) % n_dev) == dev
+        d = d * own[:, None].astype(d.dtype)
     vs = m.voxel_size
     inv_vs = m.inverse_voxel_size
     block_level = m.block_level
@@ -252,7 +276,7 @@ def allocate_ofusion(m: VoxelMap, depth, pose, K, band: float,
     t3 = t3_start + step_far * jnp.arange(n3, dtype=jnp.float32)
     scatter_zone(lvl_far, jnp.broadcast_to(t3, d.shape + (n3,)))
 
-    return octree.allocate_octant_masks(m, masks)
+    return masks
 
 
 # ----------------------------------------------------------------------
@@ -280,66 +304,20 @@ def _decimated_atlas(depth):
     return jnp.stack(levels)
 
 
-def integrate(m: VoxelMap, field, depth: jnp.ndarray, pose: jnp.ndarray,
-              K: jnp.ndarray, timestamp=0.0,
-              budget: int = 0) -> VoxelMap:
-    """Fuse one depth frame (projective_map equivalent).
 
-    Per block: slice-gather its depth footprint patch (stride matched to the
-    footprint), resolve every voxel's nearest-pixel sample by one-hot MXU
-    contractions, apply the field's update rule, refresh ``active`` from
-    visibility (`projective_functor.hpp:73-111`).
+def fuse_rows(field, bc, live, data_rows, depth, T_cw, K, timestamp,
+              voxel_size):
+    """Per-voxel projective fusion over (compacted) block rows: the core
+    of :func:`integrate` (`projective_functor.hpp:73-111` semantics),
+    separated so the sharded frame (`parallel/frame_dist.py`) can fuse
+    each device's own candidate rows locally.
 
-    ``budget`` > 0 compacts the per-block work to at most ``budget``
-    frustum-candidate blocks instead of streaming the whole capacity axis
-    (the reference's active list, `projective_functor.hpp:73-84`, kept a
-    fixed shape): a conservative centre-projection test selects candidates,
-    their rows gather/scatter by slot (row descriptors, width ~free), and
-    every patch/one-hot/update cost shrinks from [capacity] to [budget].
-    Candidates past the budget keep their voxels but are deactivated like
-    any invisible block; size the budget to the frustum (live visible
-    blocks ~2.5k at 256^3), not the map.
-    """
-    T_cw = jnp.linalg.inv(pose)
-    voxel_size = m.voxel_size
+    Returns (rows, visible): the updated channel rows and the per-block
+    any-voxel-projects-in-frame flag.  ``data_rows`` values are NOT
+    selected against ``live`` here — the caller masks (integrate keeps
+    dead rows unchanged via jnp.where, the budget path scatters by
+    slot)."""
     H, W = depth.shape
-    cap = m.capacity
-
-    bc_full = octree.block_coords_table(m)                    # [cap, 3]
-    live_full = octree.slot_mask(m) & m.active
-
-    sel = None
-    if budget and budget < cap:
-        base_f = (bc_full * BLOCK_SIDE).astype(jnp.float32)
-        centers_f = (base_f + 0.5 * BLOCK_SIDE) * voxel_size
-        ccam_f, cpix_f = _project(T_cw, K, centers_f)
-        diag = 1.7320508 * BLOCK_SIDE * voxel_size
-        foot_f = jnp.abs(K[0, 0]) * diag / jnp.maximum(ccam_f[..., 2], 1e-3)
-        # superset of any-voxel-projects-in-frame: centre within the frame
-        # dilated by the block footprint, not fully behind the camera
-        cand = (live_full & (ccam_f[..., 2] > -0.5 * diag)
-                & (cpix_f[..., 0] >= -foot_f)
-                & (cpix_f[..., 0] <= W - 1 + foot_f)
-                & (cpix_f[..., 1] >= -foot_f)
-                & (cpix_f[..., 1] <= H - 1 + foot_f))
-        idx = jnp.nonzero(cand, size=budget, fill_value=-1)[0]
-        sel = jnp.maximum(idx, 0)
-        seln = idx >= 0
-        # no silent caps: candidates past the budget skip this fusion —
-        # count them into the map's overflow diagnostic (measured at 512^3:
-        # a 6144 budget under 23k live blocks cost ATE 2.74 -> 3.90 cm)
-        n_dropped = jnp.maximum(jnp.sum(cand.astype(jnp.int32)) - budget, 0)
-        m = m.replace(overflow=m.overflow + n_dropped)
-        bc = bc_full[sel]
-        live = seln            # compacted rows are live candidates
-        data_rows = {name: v[sel] for name, v in m.voxels.items()}
-        n_rows = budget
-    else:
-        bc = bc_full
-        live = live_full
-        data_rows = dict(m.voxels)
-        n_rows = cap
-
     # ---- per-voxel projection over the (compacted) block rows ----
     base = (bc * BLOCK_SIDE).astype(jnp.float32)
     offs = _local_offsets().astype(jnp.float32)               # [512, 3]
@@ -402,6 +380,71 @@ def integrate(m: VoxelMap, field, depth: jnp.ndarray, pose: jnp.ndarray,
             for name in data_rows}
     # visibility refresh (`projective_functor.hpp:96-111`)
     visible = jnp.any(valid, axis=1)
+    return rows, visible
+
+
+def integrate(m: VoxelMap, field, depth: jnp.ndarray, pose: jnp.ndarray,
+              K: jnp.ndarray, timestamp=0.0,
+              budget: int = 0) -> VoxelMap:
+    """Fuse one depth frame (projective_map equivalent).
+
+    Per block: slice-gather its depth footprint patch (stride matched to the
+    footprint), resolve every voxel's nearest-pixel sample by one-hot MXU
+    contractions, apply the field's update rule, refresh ``active`` from
+    visibility (`projective_functor.hpp:73-111`).
+
+    ``budget`` > 0 compacts the per-block work to at most ``budget``
+    frustum-candidate blocks instead of streaming the whole capacity axis
+    (the reference's active list, `projective_functor.hpp:73-84`, kept a
+    fixed shape): a conservative centre-projection test selects candidates,
+    their rows gather/scatter by slot (row descriptors, width ~free), and
+    every patch/one-hot/update cost shrinks from [capacity] to [budget].
+    Candidates past the budget keep their voxels but are deactivated like
+    any invisible block; size the budget to the frustum (live visible
+    blocks ~2.5k at 256^3), not the map.
+    """
+    T_cw = jnp.linalg.inv(pose)
+    voxel_size = m.voxel_size
+    H, W = depth.shape
+    cap = m.capacity
+
+    bc_full = octree.block_coords_table(m)                    # [cap, 3]
+    live_full = octree.slot_mask(m) & m.active
+
+    sel = None
+    if budget and budget < cap:
+        base_f = (bc_full * BLOCK_SIDE).astype(jnp.float32)
+        centers_f = (base_f + 0.5 * BLOCK_SIDE) * voxel_size
+        ccam_f, cpix_f = _project(T_cw, K, centers_f)
+        diag = 1.7320508 * BLOCK_SIDE * voxel_size
+        foot_f = jnp.abs(K[0, 0]) * diag / jnp.maximum(ccam_f[..., 2], 1e-3)
+        # superset of any-voxel-projects-in-frame: centre within the frame
+        # dilated by the block footprint, not fully behind the camera
+        cand = (live_full & (ccam_f[..., 2] > -0.5 * diag)
+                & (cpix_f[..., 0] >= -foot_f)
+                & (cpix_f[..., 0] <= W - 1 + foot_f)
+                & (cpix_f[..., 1] >= -foot_f)
+                & (cpix_f[..., 1] <= H - 1 + foot_f))
+        idx = jnp.nonzero(cand, size=budget, fill_value=-1)[0]
+        sel = jnp.maximum(idx, 0)
+        seln = idx >= 0
+        # no silent caps: candidates past the budget skip this fusion —
+        # count them into the map's overflow diagnostic (measured at 512^3:
+        # a 6144 budget under 23k live blocks cost ATE 2.74 -> 3.90 cm)
+        n_dropped = jnp.maximum(jnp.sum(cand.astype(jnp.int32)) - budget, 0)
+        m = m.replace(overflow=m.overflow + n_dropped)
+        bc = bc_full[sel]
+        live = seln            # compacted rows are live candidates
+        data_rows = {name: v[sel] for name, v in m.voxels.items()}
+        n_rows = budget
+    else:
+        bc = bc_full
+        live = live_full
+        data_rows = dict(m.voxels)
+        n_rows = cap
+
+    rows, visible = fuse_rows(field, bc, live, data_rows, depth, T_cw, K,
+                              timestamp, voxel_size)
 
     if sel is not None:
         # scatter the compacted rows back by slot; non-selected blocks keep

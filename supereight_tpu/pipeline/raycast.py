@@ -166,7 +166,8 @@ def _sample_volume(vol, pos_vox, size, fill):
 
 
 def _splat_bounds(m: VoxelMap, field, view, H: int, W: int,
-                  near: float, far: float, inside_any=None):
+                  near: float, far: float, inside_any=None,
+                  near_rescue: bool = True):
     """Phase 1: per-ray start depth by splatting inside-containing blocks.
 
     Replaces the ESVO ray_iterator's coarse skip (`ray_iterator.hpp`) AND
@@ -249,6 +250,8 @@ def _splat_bounds(m: VoxelMap, field, view, H: int, W: int,
     # fine window anchored there covers it.  Activating these rays is
     # descriptor-free (the fine scan is dense with an active mask); the
     # only cost is two more dense reduce_windows on the tiny splat grid.
+    if not near_rescue:
+        return tmin, tmax, g
     R = 12           # covers foot_r at the near plane for bench intrinsics
     twide = -jax.lax.reduce_window(-tmin, -jnp.inf, jax.lax.max,
                                    (2 * R + 1, 2 * R + 1), (1, 1), "SAME")
@@ -341,7 +344,8 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
             row_range=None,
             w2_budget: int = 8192,
             scan_stride: float = 0.5,
-            midsolve: bool = False) -> RaycastResult:
+            midsolve: bool = False,
+            near_rescue: bool = True) -> RaycastResult:
     """Full raycastKernel (`rendering.cpp:50-90`): vertex + normal maps.
 
     Pipeline: block-splat start depths (phase 1, ~12k scattered elements)
@@ -385,7 +389,8 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         grad_table = gradmap.build_table(m, field)
 
     tgrid, tmax_grid, g = _splat_bounds(m, field, view, H, W, near, far,
-                                        inside_any=inside_any)
+                                        inside_any=inside_any,
+                                        near_rescue=near_rescue)
 
     vs = m.voxel_size
     thickness = field.mu if field.invert_normals else 2.0 * vs

@@ -111,6 +111,7 @@ class DenseSLAMSystem:
                 finest_decimate=config.icp_finest_decimate,
                 w2_budget=config.raycast_w2_budget,
                 scan_stride=config.raycast_scan_stride,
+                near_rescue=config.raycast_near_rescue,
                 midsolve=config.raycast_midsolve,
                 integrate_budget=config.integrate_budget,
                 alloc_stride=config.alloc_stride,
@@ -145,6 +146,7 @@ class DenseSLAMSystem:
                 warp=config.raycast_warp,
                 w2_budget=config.raycast_w2_budget,
                 scan_stride=config.raycast_scan_stride,
+                near_rescue=config.raycast_near_rescue,
                 midsolve=config.raycast_midsolve)),
         }
 
@@ -407,7 +409,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                      warp: bool = False,
                      w2_budget: int = 8192,
                      scan_stride: float = 0.5,
-                     midsolve: bool = False) -> FrameState:
+                     midsolve: bool = False,
+                     near_rescue: bool = True) -> FrameState:
     """raycasting() (`DenseSLAMSystem.cpp:191-204`): refresh the reference
     model maps from the current pose (only after the bootstrap frames).
 
@@ -433,7 +436,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                                  second_window=second_window,
                                  span_factor=span_factor, grad_table=grad,
                                  refine=refine, w2_budget=w2_budget,
-                                 scan_stride=scan_stride, midsolve=midsolve)
+                                 scan_stride=scan_stride, midsolve=midsolve,
+                                 near_rescue=near_rescue)
             return rc.vertex, rc.normal, pose
 
         def warp_fn(args):
@@ -463,7 +467,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                              normals=normals, second_window=second_window,
                              span_factor=span_factor, grad_table=grad,
                              refine=refine, w2_budget=w2_budget,
-                             scan_stride=scan_stride, midsolve=midsolve)
+                             scan_stride=scan_stride, midsolve=midsolve,
+                             near_rescue=near_rescue)
         return rc.vertex, rc.normal, pose
 
     def skip_fn(args):
@@ -491,7 +496,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   scan_stride: float = 0.5,
                   midsolve: bool = False,
                   integrate_budget: int = 0,
-                  alloc_stride: float = 1.0) -> FrameState:
+                  alloc_stride: float = 1.0,
+                  near_rescue: bool = True) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
@@ -509,4 +515,4 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                             span_factor=span_factor, refine=refine,
                             raycast_rate=raycast_rate, warp=warp,
                             w2_budget=w2_budget, scan_stride=scan_stride,
-                            midsolve=midsolve)
+                            midsolve=midsolve, near_rescue=near_rescue)

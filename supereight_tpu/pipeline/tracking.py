@@ -140,7 +140,7 @@ _REASSOC_PX = 0.5
 
 def _level_loop(state: TrackState, n_iters: int, in_vertex, in_normal,
                 ref_vertex, ref_normal, view, icp_threshold,
-                lazy_assoc: bool):
+                lazy_assoc: bool, psum_axis=None):
     """`DenseSLAMSystem.cpp:173-185`: iterate track+reduce+update with early
     exit on ||twist|| < icp_threshold, as one lax.while_loop.
 
@@ -198,6 +198,13 @@ def _level_loop(state: TrackState, n_iters: int, in_vertex, in_normal,
         td = _residuals(proj_vertex, proj_normal, ref_v, ref_n, in_frame,
                         no_in_normal, DIST_THRESHOLD, NORMAL_THRESHOLD)
         error2, JTe, JTJ, count = reduce_kernel(td)
+        if psum_axis is not None:
+            # image-strip-sharded reduction: the reference's 8-stripe
+            # OpenMP merge (`tracking.cpp:110`) over ICI — every device
+            # holds a row strip of this level; one psum yields the global
+            # normal equations so the pose update is identical everywhere
+            error2, JTe, JTJ, count = jax.lax.psum(
+                (error2, JTe, JTJ, count), psum_axis)
         x = solve_normal_equations(JTe, JTJ)
         pose = camera.se3_exp(x) @ st.pose
         converged = jnp.linalg.norm(x) < icp_threshold
@@ -224,7 +231,8 @@ def track(pose, depths, vertices, normals, ref_vertex, ref_normal,
           icp_threshold: float,
           track_threshold: float = TRACK_THRESHOLD,
           lazy_assoc: bool = False,
-          finest_decimate: int = 1):
+          finest_decimate: int = 1,
+          shard=None):
     """Full coarse-to-fine tracking (`DenseSLAMSystem.cpp:143-189`).
 
     Returns (new_pose, tracked, result image at full res for renderTrack —
@@ -239,6 +247,15 @@ def track(pose, depths, vertices, normals, ref_vertex, ref_normal,
     level still solves 6 DOF from ~19k point-to-plane constraints; the
     reference maps stay full resolution, so the gathered reference points
     keep full angular density.
+
+    ``shard = (axis_name, n_dev)`` (inside an enclosing ``shard_map``):
+    each level whose row count divides ``n_dev`` computes residuals for
+    only this device's row strip and the reduction psums over the mesh —
+    the reference's OpenMP stripe merge over ICI.  Indivisible (coarse)
+    levels run replicated: both forms produce the same global sums, so
+    control flow stays identical on every device.  The returned status
+    image covers only this device's finest-level strip; the sharded frame
+    concatenates strips via its out_specs.
     """
     view = camera.camera_matrix(k) @ jnp.linalg.inv(raycast_pose)
     old_pose = pose
@@ -247,17 +264,32 @@ def track(pose, depths, vertices, normals, ref_vertex, ref_normal,
                     iteration=jnp.zeros((), jnp.int32))
     result = None
     d = finest_decimate
+    n_px = None
     for level in range(len(iterations) - 1, -1, -1):
         iv, inm = vertices[level], normals[level]
         if level == 0 and d > 1:
             iv, inm = iv[::d, ::d], inm[::d, ::d]
+        psum_axis = None
+        if shard is not None:
+            axis, n_dev = shard
+            rows = iv.shape[0]
+            if rows % n_dev == 0:
+                r_d = rows // n_dev
+                r0 = jax.lax.axis_index(axis) * r_d
+                iv = jax.lax.dynamic_slice_in_dim(iv, r0, r_d, 0)
+                inm = jax.lax.dynamic_slice_in_dim(inm, r0, r_d, 0)
+                psum_axis = axis
+                if level == 0:
+                    n_px = rows * iv.shape[1]
         st, result = _level_loop(st, iterations[level], iv, inm,
                                  ref_vertex, ref_normal,
-                                 view, icp_threshold, lazy_assoc)
+                                 view, icp_threshold, lazy_assoc,
+                                 psum_axis=psum_axis)
 
     # divergence check (`tracking.cpp:320-336`); pixel fraction over the
     # finest level actually executed
-    n_px = result.shape[0] * result.shape[1]
+    if n_px is None:
+        n_px = result.shape[0] * result.shape[1]
     rmse = jnp.sqrt(st.error2 / jnp.maximum(st.count, 1.0))
     ok = (rmse <= 2e-2) & (st.count / n_px >= track_threshold)
     new_pose = jnp.where(ok, st.pose, old_pose)
