@@ -20,14 +20,17 @@ frame:
    image-row strip only (``raycast(..., row_range=...)``); the strips
    concatenate into the full maps via the out_specs.
 
+Multiscale (occupancy) fields: the node-pyramid show-through
+(`raycast.pack_view`'s multiscale rule, `bfusion/rendering_impl.hpp:52`)
+is a per-cell select on REPLICATED metadata, so only leaf rows ride the
+exchange — non-shipped cells read the deepest allocated node value
+exactly like the single-device view.
+
 Reference: the single-address-space raycast (`rendering.cpp:50-90`) has no
 exchange to port — this is the TPU scale-out design the BASELINE north
 star asks for.  Equality with the single-device raycaster is tested in
 tests/test_sharding.py (the frustum test is conservative and the strip
 split is exact, so results match to float tolerance).
-
-Single-scale fields only (SDF): the multiscale occupancy view packs the
-node pyramid through unallocated space, which is replicated anyway.
 """
 
 from __future__ import annotations
@@ -69,22 +72,118 @@ def _frustum_mask(bc, view, vs, H, W, near, far):
             & (py >= -marg) & (py <= H - 1 + marg))
 
 
+def scan_far_extension(field, vs, far: float, *, span_factor: float = 1.6,
+                       scan_stride: float = 0.5) -> float:
+    """Depth bound for the frustum test: rays sample up to two fine-scan
+    windows past the far plane (the second-window re-scan), recomputing
+    the window span exactly as ``raycast.raycast`` does."""
+    import numpy as np
+    thickness = field.mu if field.invert_normals else 2.0 * vs
+    diag = 1.7320508 * BLOCK_SIDE * vs
+    fine_step = scan_stride * thickness
+    fine_span = span_factor * diag + 2.0 * thickness
+    n_fine = int(np.clip(np.ceil(fine_span / fine_step) + 1, 8, 48))
+    return far + 2.0 * n_fine * fine_step
+
+
+def exchange_view(vox_local, meta, field, view, H: int, W: int,
+                  near: float, far_ext: float, *, axis: str,
+                  budget: int):
+    """Steps 1+2 of the protocol, inside an enclosing ``shard_map``: encode
+    this device's slot range, frustum-select, and all_gather the visible
+    bricks into a local dense tiled view.
+
+    ``vox_local`` — this device's ``{channel: [cap_d, 512]}`` chunk;
+    ``meta`` — a VoxelMap whose metadata is replicated (its ``voxels`` may
+    be dummies).  Returns ``(dense, inside_any, n_dropped)`` ready for
+    ``raycast.raycast(meta_stub, field, ..., dense=dense,
+    inside_any=inside_any, row_range=...)``.
+    """
+    cap = meta.capacity
+    B = meta.blocks_per_edge
+    vs = meta.voxel_size
+    dev = jax.lax.axis_index(axis)
+    cap_d = next(iter(vox_local.values())).shape[0]
+    slot0 = dev * cap_d
+    multiscale = field.multiscale_alloc
+    dtype = jnp.bfloat16 if (field.invert_normals or multiscale) \
+        else jnp.float32
+
+    # --- encode own rows (pack_view's tiled encode, local chunk)
+    data = {k: v.astype(jnp.float32) for k, v in vox_local.items()}
+    valid = field.sample_valid(data)
+    fsel = data[field.select_channel]
+    enc = jnp.where(valid, fsel, jnp.nan).astype(dtype)
+    inside_loc = jnp.any(field.is_inside(fsel), axis=1)
+    # --- frustum visibility over own slots
+    bc_full = octree.block_coords_table(meta)
+    live_full = octree.slot_mask(meta)
+    bc_loc = jax.lax.dynamic_slice_in_dim(bc_full, slot0, cap_d, 0)
+    live_loc = jax.lax.dynamic_slice_in_dim(live_full, slot0, cap_d, 0)
+    vis = live_loc & _frustum_mask(bc_loc, view, vs, H, W, near, far_ext)
+    n_vis = jnp.sum(vis.astype(jnp.int32))
+    dropped = jnp.maximum(n_vis - budget, 0)
+    # --- compact to the exchange budget
+    idx = jnp.nonzero(vis, size=budget, fill_value=-1)[0]
+    sel = jnp.maximum(idx, 0)
+    rows = enc[sel]
+    bsel = bc_loc[sel]
+    lin = (bsel[:, 0] * B + bsel[:, 1]) * B + bsel[:, 2]
+    tgt = jnp.where(idx >= 0, lin, B * B * B)
+    # --- THE exchange: one all_gather of visible bricks + flags
+    rows_all = jax.lax.all_gather(rows, axis)            # [D, M, 512]
+    tgt_all = jax.lax.all_gather(tgt, axis)              # [D, M]
+    inside_any = jax.lax.all_gather(inside_loc, axis,
+                                    tiled=True)          # [cap]
+    # --- local dense tiled view from the gathered bricks
+    if multiscale:
+        # node show-through from replicated metadata (pack_view's rule)
+        fills = {c.name: octree.node_fill(meta, c.name).astype(jnp.float32)
+                 for c in meta.channels}
+        fvalid = field.sample_valid(fills)
+        fill_cell = jnp.where(fvalid, fills[field.select_channel],
+                              jnp.nan).astype(dtype)
+        flat = jnp.full((B * B * B, BLOCK_VOXELS), jnp.nan, dtype=dtype)
+        flat = flat.at[tgt_all.reshape(-1)].set(
+            rows_all.reshape(-1, BLOCK_VOXELS), mode="drop")
+        has_leaf = (meta.block_index >= 0).reshape(-1)
+        flat = jnp.where(has_leaf[:, None], flat, fill_cell[:, None])
+    else:
+        with jax.ensure_compile_time_eval():
+            empties = {c.name: jnp.full((), c.empty, jnp.float32)
+                       for c in meta.channels}
+            ev = field.sample_valid(empties)
+            fill = float(empties[field.select_channel]) if bool(ev) \
+                else float("nan")
+        flat = jnp.full((B * B * B, BLOCK_VOXELS), fill, dtype=dtype)
+        flat = flat.at[tgt_all.reshape(-1)].set(
+            rows_all.reshape(-1, BLOCK_VOXELS), mode="drop")
+    return {"F": flat}, inside_any, dropped
+
+
 def sharded_raycast(mesh: Mesh, field, H: int, W: int,
                     near: float, far: float, *,
                     max_visible_per_device: int = 1024,
+                    normals: str = "volume",
                     second_window: bool = True,
                     span_factor: float = 1.6,
+                    scan_stride: float = 0.5,
+                    midsolve: bool = False,
+                    near_rescue: bool = True,
+                    w2_budget: int = 8192,
                     axis: str = MAP_AXIS):
     """Build ``fn(m, view) -> (vertex, normal, t_hit, n_dropped)``.
 
     ``m.voxels`` may live sharded on the capacity axis; everything else
-    (keys, active, block_index — the small metadata) is replicated, as in
-    ``parallel.sharding.map_sharding``.  ``n_dropped`` counts visible
-    blocks that exceeded the per-device exchange budget (0 in correct
-    operation; size the budget by the frustum, not the map).
+    (keys, active, block_index, node pyramid — the small metadata) is
+    replicated, as in ``parallel.sharding.map_sharding``.  ``n_dropped``
+    counts visible blocks that exceeded the per-device exchange budget
+    (0 in correct operation; size the budget by the frustum, not the
+    map).  ``normals``: "volume" or "hybrid" (the headline config).
     """
-    if field.multiscale_alloc:
-        raise NotImplementedError("sharded_raycast: single-scale fields only")
+    if normals not in ("volume", "hybrid"):
+        raise ValueError(f"sharded_raycast: volume/hybrid normals only, "
+                         f"not {normals!r}")
     n_dev = mesh.devices.size
     if H % n_dev:
         raise ValueError(f"image height {H} not divisible by {n_dev}")
@@ -94,27 +193,9 @@ def sharded_raycast(mesh: Mesh, field, H: int, W: int,
         cap = m.capacity
         if cap % n_dev:
             raise ValueError(f"capacity {cap} not divisible by {n_dev}")
-        cap_d = cap // n_dev
-        B = m.blocks_per_edge
-        vs = m.voxel_size
-        # rays sample up to z_start + 2 windows past the far plane (the
-        # second window re-scan): extend the frustum depth bound to match,
-        # recomputing the window span exactly as raycast() does
-        import numpy as np
-        thickness = field.mu if field.invert_normals else 2.0 * vs
-        diag = 1.7320508 * BLOCK_SIDE * vs
-        fine_step = 0.5 * thickness
-        fine_span = span_factor * diag + 2.0 * thickness
-        n_fine = int(np.clip(np.ceil(fine_span / fine_step) + 1, 8, 48))
-        far_ext = far + 2.0 * n_fine * fine_step
-        dtype = jnp.bfloat16 if field.invert_normals else jnp.float32
-        # what unallocated space reads (same rule as pack_view)
-        with jax.ensure_compile_time_eval():
-            empties = {c.name: jnp.full((), c.empty, jnp.float32)
-                       for c in m.channels}
-            ev = field.sample_valid(empties)
-            fill = float(empties[field.select_channel]) if bool(ev) \
-                else float("nan")
+        far_ext = scan_far_extension(field, m.voxel_size, far,
+                                     span_factor=span_factor,
+                                     scan_stride=scan_stride)
 
         # metadata stub: raycast with dense + inside_any provided never
         # reads m.voxels, so ship 1-row dummies instead of the table
@@ -131,46 +212,18 @@ def sharded_raycast(mesh: Mesh, field, H: int, W: int,
         )
         def body(vox_local, st, view):
             dev = jax.lax.axis_index(axis)
-            slot0 = dev * cap_d
-            # --- encode own rows (pack_view's tiled encode, local chunk)
-            data = {k: v.astype(jnp.float32) for k, v in vox_local.items()}
-            valid = field.sample_valid(data)
-            fsel = data[field.select_channel]
-            enc = jnp.where(valid, fsel, jnp.nan).astype(dtype)
-            inside_loc = jnp.any(field.is_inside(fsel), axis=1)
-            # --- frustum visibility over own slots
-            bc_full = octree.block_coords_table(st)
-            live_full = octree.slot_mask(st)
-            bc_loc = jax.lax.dynamic_slice_in_dim(bc_full, slot0, cap_d, 0)
-            live_loc = jax.lax.dynamic_slice_in_dim(live_full, slot0,
-                                                    cap_d, 0)
-            vis = live_loc & _frustum_mask(bc_loc, view, vs, H, W,
-                                           near, far_ext)
-            n_vis = jnp.sum(vis.astype(jnp.int32))
-            dropped = jnp.maximum(n_vis - M, 0)[None]
-            # --- compact to the exchange budget
-            idx = jnp.nonzero(vis, size=M, fill_value=-1)[0]
-            sel = jnp.maximum(idx, 0)
-            rows = enc[sel]
-            bsel = bc_loc[sel]
-            lin = (bsel[:, 0] * B + bsel[:, 1]) * B + bsel[:, 2]
-            tgt = jnp.where(idx >= 0, lin, B * B * B)
-            # --- THE exchange: one all_gather of visible bricks + flags
-            rows_all = jax.lax.all_gather(rows, axis)        # [D, M, 512]
-            tgt_all = jax.lax.all_gather(tgt, axis)          # [D, M]
-            inside_any = jax.lax.all_gather(inside_loc, axis).reshape(cap)
-            # --- local dense tiled view from the gathered bricks
-            flat = jnp.full((B * B * B, BLOCK_VOXELS), fill, dtype=dtype)
-            flat = flat.at[tgt_all.reshape(-1)].set(
-                rows_all.reshape(-1, BLOCK_VOXELS), mode="drop")
-            # --- per-ray phases for this device's image strip
+            dense, inside_any, dropped = exchange_view(
+                vox_local, st, field, view, H, W, near, far_ext,
+                axis=axis, budget=M)
             rc = raycast.raycast(
-                st, field, view, H, W, near, far, dense={"F": flat},
+                st, field, view, H, W, near, far, dense=dense,
                 inside_any=inside_any, row_range=(dev * (H // n_dev),
                                                   H // n_dev),
-                normals="volume", second_window=second_window,
-                span_factor=span_factor)
-            return rc.vertex, rc.normal, rc.t_hit, dropped
+                normals=normals, second_window=second_window,
+                span_factor=span_factor, scan_stride=scan_stride,
+                midsolve=midsolve, near_rescue=near_rescue,
+                w2_budget=w2_budget)
+            return rc.vertex, rc.normal, rc.t_hit, dropped[None]
 
         return body(m.voxels, stub, view)
 

@@ -299,3 +299,141 @@ class TestShardedRaycast:
             max_visible_per_device=2)
         *_, dropped = jax.jit(dist_fn)(state.map, view)
         assert int(np.asarray(dropped).sum()) > 0
+
+
+class TestUnifiedShardedFrame:
+    """The single fused sharded frame (parallel/frame_dist.py): every
+    stage under one shard_map with explicit collectives must reproduce
+    process_frame (VERDICT r2 item 5)."""
+
+    def _run_sharded(self, slam, depths, *, normals="volume",
+                     field_type=None):
+        from supereight_tpu.parallel import frame_dist
+        mesh = make_mesh(8)
+        st = frame_dist.frame_sharding(mesh)(slam.state)
+        step = frame_dist.make_process_frame_sharded(
+            mesh, slam.field, H, W, iterations=slam.iterations,
+            normals=normals, max_visible_per_device=256)
+        jstep = jax.jit(functools.partial(step, use_gt=False, neg_y=False))
+        for i, d in enumerate(depths):
+            st = jstep(st, jnp.asarray(d), jnp.asarray(K4),
+                       jnp.asarray(i, jnp.int32),
+                       jnp.eye(4, dtype=jnp.float32))
+        return jax.device_get(st)
+
+    def test_sdf_frame_matches_single(self, frames):
+        depths, _ = frames
+        slam, fn = build(partitions=8)
+        single = run_frames(slam.state, fn, depths)
+
+        slam2, _ = build(partitions=8)
+        sharded = self._run_sharded(slam2, depths)
+
+        assert int(single.map.n_blocks) == int(sharded.map.n_blocks)
+        np.testing.assert_allclose(np.asarray(single.pose),
+                                   np.asarray(sharded.pose), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(single.ref_vertex),
+                                   np.asarray(sharded.ref_vertex),
+                                   atol=1e-3)
+        live = np.asarray(__import__("supereight_tpu.core.octree",
+                                     fromlist=["slot_mask"])
+                          .slot_mask(single.map))
+        for name in single.map.voxels:
+            a = np.asarray(single.map.voxels[name])[live]
+            b = np.asarray(sharded.map.voxels[name])[live]
+            np.testing.assert_allclose(a, b, atol=1e-4)
+        assert int(sharded.map.overflow) == 0
+
+    def test_ofusion_frame_matches_single(self, frames):
+        depths, _ = frames
+        cfg = Configuration(volume_resolution=(64,) * 3,
+                            volume_size=(4.8,) * 3, pyramid=(3, 2, 2),
+                            block_capacity=1024, integration_rate=1,
+                            map_partitions=8, field_type="ofusion")
+        slam = DenseSLAMSystem((H, W), cfg)
+        fn = functools.partial(
+            process_frame, field=slam.field, iterations=slam.iterations,
+            tracking_rate=1, integration_rate=1, bilateral=False,
+            icp_threshold=1e-5, use_gt=False, neg_y=False)
+        single = run_frames(slam.state, fn, depths)
+
+        slam2 = DenseSLAMSystem((H, W), cfg)
+        sharded = self._run_sharded(slam2, depths)
+
+        assert int(single.map.n_blocks) == int(sharded.map.n_blocks)
+        np.testing.assert_allclose(np.asarray(single.pose),
+                                   np.asarray(sharded.pose), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(single.ref_vertex),
+                                   np.asarray(sharded.ref_vertex),
+                                   atol=1e-3)
+
+
+class TestShardedRaycastExtensions:
+    """VERDICT r2 item 5: the exchange raycast must cover the headline
+    hybrid-normals config and multiscale (occupancy) fields."""
+
+    def _built_state(self, frames, field_type="sdf"):
+        depths, poses = frames
+        cfg = Configuration(volume_resolution=(64,) * 3,
+                            volume_size=(4.8,) * 3, pyramid=(3, 2, 2),
+                            block_capacity=1024, integration_rate=1,
+                            map_partitions=1, field_type=field_type)
+        slam = DenseSLAMSystem((H, W), cfg)
+        fn = functools.partial(
+            process_frame, field=slam.field, iterations=slam.iterations,
+            tracking_rate=1, integration_rate=1, bilateral=False,
+            icp_threshold=1e-5, use_gt=False, neg_y=False)
+        state = slam.state
+        step = jax.jit(fn)
+        for i, d in enumerate(depths):
+            state = step(state, jnp.asarray(d), jnp.asarray(K4),
+                         jnp.asarray(i, jnp.int32), jnp.asarray(poses[i]))
+        return slam, state
+
+    def test_hybrid_normals_strip_matches(self, frames):
+        """Hybrid normals engage the half-res scan (W >= 160): the strip
+        split must still match — covers the even-row strip handling and
+        the refine-sample along-ray correction across strips."""
+        from supereight_tpu.parallel import raycast_dist
+        from supereight_tpu.pipeline import camera, raycast
+        from supereight_tpu.pipeline.constants import FAR_PLANE, NEAR_PLANE
+
+        slam, state = self._built_state(frames)
+        H2, W2 = 160, 160
+        k2 = jnp.asarray([48.0 * W2 / 160, 48.0 * H2 / 120,
+                          W2 / 2.0, H2 / 2.0], jnp.float32)
+        view = state.pose @ camera.inverse_camera_matrix(k2)
+        rc = jax.jit(lambda mm, vv: raycast.raycast(
+            mm, slam.field, vv, H2, W2, NEAR_PLANE, FAR_PLANE,
+            normals="hybrid"))(state.map, view)
+        mesh = make_mesh(8)
+        dist_fn = raycast_dist.sharded_raycast(
+            mesh, slam.field, H2, W2, NEAR_PLANE, FAR_PLANE,
+            max_visible_per_device=256, normals="hybrid")
+        v, n, t, dropped = jax.jit(dist_fn)(state.map, view)
+        assert int(np.asarray(dropped).sum()) == 0
+        np.testing.assert_allclose(np.asarray(t), np.asarray(rc.t_hit),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(n), np.asarray(rc.normal),
+                                   atol=1e-3)
+
+    def test_multiscale_exchange_matches(self, frames):
+        """Occupancy field: leaf rows ride the exchange, unallocated cells
+        read the replicated node pyramid's show-through."""
+        from supereight_tpu.parallel import raycast_dist
+        from supereight_tpu.pipeline import camera, raycast
+        from supereight_tpu.pipeline.constants import FAR_PLANE, NEAR_PLANE
+
+        slam, state = self._built_state(frames, field_type="ofusion")
+        view = state.pose @ camera.inverse_camera_matrix(jnp.asarray(K4))
+        rc = jax.jit(lambda mm, vv: raycast.raycast(
+            mm, slam.field, vv, H, W, NEAR_PLANE, FAR_PLANE))(
+                state.map, view)
+        mesh = make_mesh(8)
+        dist_fn = raycast_dist.sharded_raycast(
+            mesh, slam.field, H, W, NEAR_PLANE, FAR_PLANE,
+            max_visible_per_device=256)
+        v, n, t, dropped = jax.jit(dist_fn)(state.map, view)
+        assert int(np.asarray(dropped).sum()) == 0
+        np.testing.assert_allclose(np.asarray(t), np.asarray(rc.t_hit),
+                                   atol=1e-4)
