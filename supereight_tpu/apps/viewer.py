@@ -69,6 +69,62 @@ def plot_trajectory(path: str, est_poses, gt_poses=None):
     plt.close(fig)
 
 
+def write_scrubber(out_dir: str, frame_files, fps: float = 6.0) -> str:
+    """Offline HTML scrubber over the triptych PNGs: slider + play/pause
+    at a chosen rate — the decided GUI story for this display-less
+    environment (VERDICT r2 item 7; the reference's live Qt window,
+    `se_apps/src/mainQt.cpp:91-199`, has no headless equivalent).  Pure
+    static file, relative image paths: open ``view.html`` anywhere."""
+    frames_js = ",".join(f'"{os.path.basename(f)}"' for f in frame_files)
+    html = f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>supereight_tpu viewer</title>
+<style>
+ body {{ font-family: sans-serif; background:#111; color:#ddd;
+        text-align:center }}
+ img#frame {{ max-width: 96%; image-rendering: pixelated }}
+ .bar {{ margin: 12px }}
+ input[type=range] {{ width: 60% }}
+</style></head><body>
+<h3>supereight_tpu — render triptych scrubber</h3>
+<img id="frame" src=""/>
+<div class="bar">
+ <button id="play">&#9658;</button>
+ <input type="range" id="pos" min="0" value="0"/>
+ <span id="label"></span>
+ <label>fps <input type="number" id="fps" value="{fps:g}" min="1"
+  max="60" style="width:4em"/></label>
+</div>
+<img src="trajectory.png" style="max-width:70%"/>
+<script>
+ const frames = [{frames_js}];
+ const img = document.getElementById("frame");
+ const pos = document.getElementById("pos");
+ const label = document.getElementById("label");
+ const fps = document.getElementById("fps");
+ pos.max = frames.length - 1;
+ let timer = null;
+ function show(i) {{
+   i = Math.max(0, Math.min(frames.length - 1, i|0));
+   pos.value = i; img.src = frames[i];
+   label.textContent = frames[i] + " (" + (i+1) + "/" + frames.length + ")";
+ }}
+ pos.oninput = () => show(+pos.value);
+ document.getElementById("play").onclick = function () {{
+   if (timer) {{ clearInterval(timer); timer = null;
+                 this.innerHTML = "&#9658;"; return; }}
+   this.innerHTML = "&#10074;&#10074;";
+   timer = setInterval(() => show((+pos.value + 1) % frames.length),
+                       1000 / +fps.value);
+ }};
+ if (frames.length) show(0);
+</script></body></html>
+"""
+    path = os.path.join(out_dir, "view.html")
+    with open(path, "w") as f:
+        f.write(html)
+    return path
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-i", "--input-file", required=True)
@@ -99,18 +155,21 @@ def main(argv=None):
     if args.max_frames:
         n = min(n, args.max_frames)
     est_poses = []
+    frame_files = []
     for frame in range(n):
         depth, _ = reader.read(frame)
         st = slam.step(depth, k, frame,
                        gt_pose=gt[frame] if gt is not None else None)
         est_poses.append(np.asarray(st.pose))
         if frame % args.rate == 0 and frame > 2:
-            save_triptych(os.path.join(args.out_dir, f"frame_{frame:05d}.png"),
-                          slam.renderDepth(), slam.renderTrack(),
+            fp = os.path.join(args.out_dir, f"frame_{frame:05d}.png")
+            save_triptych(fp, slam.renderDepth(), slam.renderTrack(),
                           slam.renderVolume())
+            frame_files.append(fp)
     plot_trajectory(os.path.join(args.out_dir, "trajectory.png"),
                     est_poses, gt)
-    print(f"wrote renders to {args.out_dir}")
+    write_scrubber(args.out_dir, frame_files)
+    print(f"wrote renders + view.html to {args.out_dir}")
     return 0
 
 

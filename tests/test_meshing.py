@@ -55,3 +55,41 @@ class TestMarchingCubes:
         m = octree.init(32, 4.8, chans, capacity=64)
         tris = meshing.marching_cubes(m, "v")
         assert tris.shape[0] == 0
+
+
+class TestMeshFidelity:
+    """Quantified parity vs the reference MC's semantics (VERDICT r2
+    item 8): the redesigned tetrahedral mesher must reproduce the same
+    isosurface — measured as surface distance, coverage (no holes), and
+    total area against the analytic sphere the SDF encodes
+    (`meshing.hpp:159-208` extracts the identical zero crossing)."""
+
+    def test_sphere_distance_coverage_area(self):
+        radius = 1.0
+        m = sphere_map(radius=radius)
+        vs = m.voxel_size
+        tris = np.asarray(meshing.marching_cubes(m, "v"))
+        assert tris.shape[0] > 1000
+        v = tris.reshape(-1, 3) - 2.4
+
+        # (1) surface distance: RMS well under voxel/2, max under voxel
+        d = np.abs(np.linalg.norm(v, axis=-1) - radius)
+        assert np.sqrt((d ** 2).mean()) < 0.5 * vs
+        assert d.max() < vs
+
+        # (2) coverage: every patch of the analytic sphere has mesh
+        # geometry within one voxel (no holes).  1k quasi-uniform samples.
+        rng = np.random.default_rng(0)
+        p = rng.standard_normal((1000, 3))
+        p *= radius / np.linalg.norm(p, axis=-1, keepdims=True)
+        centers = tris.mean(axis=1) - 2.4
+        d2 = ((p[:, None, :] - centers[None]) ** 2).sum(-1)
+        assert np.sqrt(d2.min(axis=1)).max() < vs
+
+        # (3) area parity: tetrahedral triangulations of a smooth surface
+        # approximate its area (the reference MC extracts the same
+        # isosurface; triangulation density differs, area must not)
+        a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+        area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=-1).sum()
+        sphere_area = 4.0 * np.pi * radius ** 2
+        assert abs(area - sphere_area) / sphere_area < 0.05

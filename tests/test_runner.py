@@ -55,3 +55,79 @@ def test_tum_directory_ingestion(tmp_path, monkeypatch):
     assert res["frames"] == 6
     assert (root / "rgbd_dataset_freiburg1_desk.raw").exists()
     assert res["ate_rmse_m"] < 1.0
+
+
+def test_icl_scene_directory_ingestion(tmp_path, monkeypatch):
+    """A locally provided ICL-NUIM scene directory (euclidean-ray .depth
+    text files) converts via tools/scene2raw and runs end-to-end through
+    the registry entry (VERDICT r2 item 6)."""
+    import numpy as np
+    from supereight_tpu.io import synthetic, groundtruth
+    from supereight_tpu.tools.scene2raw import SCENE_K, SCENE_W, SCENE_H
+
+    root = tmp_path / "datasets"
+    seq = root / "living_room_traj0_loop"
+    seq.mkdir(parents=True)
+    depths, poses, k = synthetic.generate_sequence(4, H=SCENE_H, W=SCENE_W,
+                                                   room_dim=4.8)
+    # planar z (mm) -> euclidean ray length (m) with the Scene intrinsics
+    # (scene2raw inverts exactly this, interface.h:171-176)
+    fx, fy, cx, cy = SCENE_K
+    u = (np.arange(SCENE_W, dtype=np.float32) - cx) / fx
+    v = (np.arange(SCENE_H, dtype=np.float32) - cy) / fy
+    norm = np.sqrt(1.0 + u[None, :] ** 2 + v[:, None] ** 2)
+    for i, d in enumerate(depths):
+        eu = (np.asarray(d, np.float32) / 1000.0) * norm
+        with open(seq / f"scene_00_{i:04d}.depth", "w") as f:
+            eu.astype(np.float32).tofile(f, sep=" ")
+    groundtruth.write_poses(str(root / "livingRoom0.gt.freiburg"), poses)
+
+    monkeypatch.setenv("SE_DATASETS", str(root))
+    kk = ",".join(str(float(x)) for x in k)
+    res = runner.run("icl-lr-traj0", field="sdf", resolution=64, frames=4,
+                     out=str(tmp_path / "out"),
+                     extra_args=("-r", "8", "-k", kk))
+    assert (root / "living_room_traj0_loop.raw").exists()
+    assert res["frames"] == 4
+    assert res["ate_rmse_m"] < 1.0
+
+
+def test_full_length_fabricated_tum_run(tmp_path, monkeypatch):
+    """Full-length (60-frame) fabricated TUM sequence through the exact
+    code path a real dataset takes: tum2raw conversion, timestamp
+    association, benchmark loop, Horn ATE (VERDICT r2 item 6)."""
+    import numpy as np
+    from PIL import Image
+    from supereight_tpu.io import synthetic, groundtruth
+
+    root = tmp_path / "datasets"
+    seq = root / "rgbd_dataset_freiburg2_xyz"
+    (seq / "depth").mkdir(parents=True)
+    depths, poses, k = synthetic.generate_sequence(60, H=60, W=80,
+                                                   room_dim=4.8)
+    with open(seq / "depth.txt", "w") as f:
+        f.write("# depth maps\n")
+        for i, d in enumerate(depths):
+            ts = 1000.0 + 0.033 * i
+            png = (d.astype(np.float32) * 5.0).astype(np.uint16)
+            Image.fromarray(png, mode="I;16").save(
+                seq / "depth" / f"{ts:.6f}.png")
+            f.write(f"{ts:.6f} depth/{ts:.6f}.png\n")
+    ts = [1000.004 + 0.033 * i for i in range(len(poses))]
+    groundtruth.write_poses(str(seq / "groundtruth.txt"), poses,
+                            timestamps=ts)
+
+    monkeypatch.setenv("SE_DATASETS", str(root))
+    # -k/-p override the registry's real-sensor values for the fabricated
+    # scene (same knobs a user supplies for a custom capture); z=0.23 keeps
+    # the synthetic room inside the 4.8 m volume like synthetic-room does.
+    # 128^3 (3.75 cm voxels): the reference's divergence gate (RMSE <= 2 cm,
+    # tracking.cpp:320-336) cannot pass at 64^3's 7.5 cm quantization.
+    res = runner.run("tum-fr2-xyz", field="sdf", resolution=128, frames=60,
+                     out=str(tmp_path / "out"),
+                     extra_args=("-k", "30,30,40,30",
+                                 "-p", "0.5,0.5,0.23"))
+    assert res["frames"] == 60
+    # bootstrap frames (<=3) never count as tracked: 56/60 is perfection
+    assert res["tracked_ratio"] > 0.85
+    assert res["ate_rmse_m"] < 0.3

@@ -85,3 +85,16 @@ def test_viewer_plots(tmp_path):
     plot_trajectory(str(tmp_path / "traj.png"), poses, poses)
     assert os.path.getsize(tmp_path / "t.png") > 0
     assert os.path.getsize(tmp_path / "traj.png") > 0
+
+
+def test_viewer_html_scrubber(tmp_path):
+    """The decided GUI story (VERDICT r2 item 7): an offline HTML
+    scrubber over the triptych PNGs replaces the reference's live Qt
+    window in this display-less environment."""
+    from supereight_tpu.apps.viewer import write_scrubber
+    frames = [str(tmp_path / f"frame_{i:05d}.png") for i in range(3)]
+    path = write_scrubber(str(tmp_path), frames)
+    html = open(path).read()
+    assert "frame_00002.png" in html
+    assert "trajectory.png" in html
+    assert "setInterval" in html          # play/pause scrubbing
