@@ -61,6 +61,8 @@ def main():
         if "--scan-stride" in sys.argv else 0.5
     midsolve = "--midsolve" in sys.argv
     near_rescue = "--no-rescue" not in sys.argv
+    gather_streams = int(sys.argv[sys.argv.index("--gather-streams") + 1]) \
+        if "--gather-streams" in sys.argv else 1
 
     import jax
     import jax.numpy as jnp
@@ -94,6 +96,7 @@ def main():
                         raycast_scan_stride=scan_stride,
                         raycast_midsolve=midsolve,
                         raycast_near_rescue=near_rescue,
+                        raycast_gather_streams=gather_streams,
                         field_type=field_name)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
@@ -110,7 +113,8 @@ def main():
                            integrate_budget=int_budget,
                            alloc_stride=alloc_stride,
                            scan_stride=scan_stride, midsolve=midsolve,
-                           near_rescue=near_rescue)
+                           near_rescue=near_rescue,
+                           gather_streams=gather_streams)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -168,6 +172,7 @@ def main():
         "scan_stride": scan_stride,
         "midsolve": midsolve,
         "near_rescue": near_rescue,
+        "gather_streams": gather_streams,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
         "ate_max_m": round(ate["max"], 4),
@@ -205,6 +210,8 @@ def main():
         mode += f"_ss{scan_stride:g}"
         if midsolve:
             mode += "m"
+    if gather_streams > 1:
+        mode += f"_gs{gather_streams}"
     if not near_rescue:
         mode += "_nr"
     if int_rate != 1:

@@ -60,6 +60,11 @@ class Configuration:
                                            # tmin (ADVICE r2 blind zone)
     raycast_scan_stride: float = 0.5       # fine-scan step, in band
                                            # thicknesses (0.5 = canonical)
+    raycast_gather_streams: int = 1        # split raycast sample gathers
+                                           # into N separate ops (XLA picks
+                                           # a ~4x slower gather strategy
+                                           # for one big op; see
+                                           # bench_data/stream_probe.json)
     raycast_midsolve: bool = False         # half-res secant re-solve between
                                            # scan and full-res refine (pairs
                                            # with a coarse scan_stride)

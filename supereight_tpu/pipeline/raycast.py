@@ -146,10 +146,19 @@ def pack_view(m: VoxelMap, field):
     return {"F": flat}
 
 
-def _sample_volume(vol, pos_vox, size, fill):
+def _sample_volume(vol, pos_vox, size, fill, streams: int = 1):
     """Nearest-voxel lookup with out-of-bounds fill.  ``vol`` is either a
     dense ``[S,S,S]`` volume or a brick-tiled ``[B^3, 512]`` row view
-    (see pack_view); both cost one gathered descriptor per sample."""
+    (see pack_view); both cost one gathered descriptor per sample.
+
+    ``streams`` > 1 splits the index set into that many SEPARATE gather
+    ops on the same operand.  Measured on v5e (bench_data/
+    stream_probe.json, in-scan at the fine-scan's exact shapes): one
+    268k-element gather from the 33 MB tiled view runs at 39.7 ns/elem,
+    the same indices as 2/4 split ops at 10.8/10.1 — XLA picks a ~4x
+    slower gather strategy for large single ops, and splitting is free
+    (the chunks are independent; no table copies needed — a stacked-copy
+    variant measured no better and bloats the program)."""
     v = jnp.floor(pos_vox).astype(jnp.int32)
     inb = ((v >= 0) & (v < size)).all(axis=-1)
     vc = jnp.clip(v, 0, size - 1)
@@ -159,10 +168,35 @@ def _sample_volume(vol, pos_vox, size, fill):
         l = vc & 7
         row = (b[..., 0] * B + b[..., 1]) * B + b[..., 2]
         col = l[..., 0] + l[..., 1] * 8 + l[..., 2] * 64
-        val = vol[row, col].astype(jnp.float32)
+        val = _gather2(vol, row, col, streams)
     else:
-        val = vol[vc[..., 0], vc[..., 1], vc[..., 2]].astype(jnp.float32)
+        val = _gather2(vol.reshape(vol.shape[0], -1),
+                       vc[..., 0],
+                       vc[..., 1] * vol.shape[2] + vc[..., 2], streams)
     return jnp.where(inb, val, jnp.float32(fill)), inb
+
+
+def _gather2(vol2d, row, col, streams: int = 1):
+    """``vol2d[row, col] -> f32``, optionally as ``streams`` separate
+    gather ops over equal chunks of the flattened index set."""
+    if streams <= 1:
+        return vol2d[row, col].astype(jnp.float32)
+    shape = row.shape
+    r = row.reshape(-1)
+    c = col.reshape(-1)
+    m = r.shape[0]
+    chunk = -(-m // streams)
+    pad = chunk * streams - m
+    if pad:
+        r = jnp.concatenate([r, jnp.zeros((pad,), r.dtype)])
+        c = jnp.concatenate([c, jnp.zeros((pad,), c.dtype)])
+    parts = [vol2d[r[j * chunk:(j + 1) * chunk],
+                   c[j * chunk:(j + 1) * chunk]].astype(jnp.float32)
+             for j in range(streams)]
+    out = jnp.concatenate(parts)
+    if pad:
+        out = out[:m]
+    return out.reshape(shape)
 
 
 def _splat_bounds(m: VoxelMap, field, view, H: int, W: int,
@@ -270,7 +304,7 @@ class _Fine(NamedTuple):
 
 
 def _fine_scan(m, dense, field, origin, dirs, z_start, span, n_samples,
-               active):
+               active, streams: int = 1):
     """Phase 2: fine first-crossing detection across a bracket.
 
     Reference semantics: only transitions between *valid* samples count
@@ -293,7 +327,8 @@ def _fine_scan(m, dense, field, origin, dirs, z_start, span, n_samples,
     z = z_start[None] + dz * jnp.arange(F, dtype=jnp.float32) \
         .reshape(stepshape)
     pos = (origin + dirs[None] * z[..., None]) * inv_vs
-    f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan)   # [F, *rays]
+    f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan,
+                          streams=streams)   # [F, *rays]
     ok = ~jnp.isnan(f)
 
     # Forward-fill of "last valid sample was outside" WITHOUT a gather:
@@ -345,7 +380,8 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
             w2_budget: int = 8192,
             scan_stride: float = 0.5,
             midsolve: bool = False,
-            near_rescue: bool = True) -> RaycastResult:
+            near_rescue: bool = True,
+            gather_streams: int = 1) -> RaycastResult:
     """Full raycastKernel (`rendering.cpp:50-90`): vertex + normal maps.
 
     Pipeline: block-splat start depths (phase 1, ~12k scattered elements)
@@ -438,7 +474,7 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         t1 = sl(t1, r0 // f, nr // f)
 
     f1 = _fine_scan(m, dense, field, origin, fd, z_start, fine_span,
-                    n_fine, active)
+                    n_fine, active, streams=gather_streams)
 
     # second window: surfaces deeper than the nearest splatted block (e.g.
     # a wall behind a grazed silhouette block).  Only rays whose splatted
@@ -461,7 +497,7 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         fd2 = fd.reshape(-1, 3)[sel]
         zs2 = (z_start + fine_span).reshape(-1)[sel]
         f2 = _fine_scan(m, dense, field, origin, fd2, zs2, fine_span,
-                        n_fine, idx >= 0)
+                        n_fine, idx >= 0, streams=gather_streams)
         tgt = jnp.where(idx >= 0, idx, n_rays)
         hit2 = jnp.zeros((n_rays,), bool).at[tgt].set(f2.hit, mode="drop") \
             .reshape(f1.hit.shape)
@@ -480,7 +516,7 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         # otherwise straddle the band edge and re-solve between clamped
         # values).
         z_hit = _midsolve(m, dense, field, origin, fd, z_hit, hit,
-                          0.35 * thickness)
+                          0.35 * thickness, streams=gather_streams)
 
     z_half, hit_half = z_hit, hit          # pre-upsample (hybrid normals)
     ref_extras = None
@@ -518,7 +554,8 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
                                             z_hit + delta), z_hit)
         else:
             z_hit, hit, rf_lo, rf_hi, rf_pair = _refine(
-                m, dense, field, origin, dirs, z_hit, hit, delta)
+                m, dense, field, origin, dirs, z_hit, hit, delta,
+                streams=gather_streams)
             ref_extras = (rf_lo, rf_hi, rf_pair, delta)
 
     vertex = origin + dirs * z_hit[..., None]
@@ -545,7 +582,8 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         # (already gathered): the lateral components are shared across the
         # 2x2 upsample but the ray component is exact per pixel.
         vert_h = origin + fd * z_half[..., None]
-        g_h = _grad6(m, dense, field, vert_h) * m.inverse_voxel_size
+        g_h = _grad6(m, dense, field, vert_h,
+                     streams=gather_streams) * m.inverse_voxel_size
         up3 = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
         g_m = up3(g_h)
         rf_lo, rf_hi, rf_pair, delta = ref_extras
@@ -578,7 +616,7 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         # voxel resolution; full interp-grad remains via octree.grad).
         # Full-res on purpose: 2x2-shared normals measurably degrade the
         # ICP point-to-plane solve (ATE 2.3 -> 4.0 cm).
-        g_ = _grad6(m, dense, field, vertex)
+        g_ = _grad6(m, dense, field, vertex, streams=gather_streams)
         if field.invert_normals:
             g_ = -g_
         gn = jnp.linalg.norm(g_, axis=-1, keepdims=True)
@@ -661,7 +699,8 @@ def _image_normals(vertex, hit, dirs):
     return n, bad
 
 
-def _refine(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta):
+def _refine(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta,
+            streams: int = 1):
     """Full-res re-solve of the crossing within +/-delta of ``z_hit``.
 
     Samples the field at z-delta and z+delta per pixel; a valid
@@ -674,7 +713,8 @@ def _refine(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta):
     def sample(z):
         # NaN OOB fill: out-of-volume samples are invalid (never pair up)
         pos = (origin + dirs * z[..., None]) * inv_vs
-        f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan)
+        f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan,
+                              streams=streams)
         return f
 
     f_lo = sample(z_hit - delta)
@@ -693,7 +733,8 @@ def _refine(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta):
     return jnp.where(crossing, z_new, z_hit), hit & ~miss, f_lo, f_hi, pair
 
 
-def _midsolve(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta):
+def _midsolve(m: VoxelMap, dense, field, origin, dirs, z_hit, hit,
+              delta, streams: int = 1):
     """Half-res secant correction of the scan's crossing estimate: sample
     at z +/- delta and re-solve the linear crossing when a valid
     outside->inside pair brackets it.  Never drops hits (unlike `_refine`
@@ -703,7 +744,8 @@ def _midsolve(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta):
 
     def sample(z):
         pos = (origin + dirs * z[..., None]) * inv_vs
-        f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan)
+        f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan,
+                              streams=streams)
         return f
 
     f_lo = sample(z_hit - delta)
@@ -737,7 +779,7 @@ def _grad3(m: VoxelMap, dense, field, pos_world):
     return jnp.stack(grads, axis=-1)
 
 
-def _grad6(m: VoxelMap, dense, field, pos_world):
+def _grad6(m: VoxelMap, dense, field, pos_world, streams: int = 1):
     """Central-difference gradient from 6 nearest-voxel taps (reads the
     NaN-encoded view; NaN taps recover the raw init/empty value).  All six
     taps go through ONE batched gather op."""
@@ -748,7 +790,8 @@ def _grad6(m: VoxelMap, dense, field, pos_world):
     offs = jnp.asarray([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
                         [0, -1, 0], [0, 0, 1], [0, 0, -1]], jnp.float32)
     pos6 = base[None] + offs.reshape((6,) + (1,) * (base.ndim - 1) + (3,))
-    vals, _ = _sample_volume(vol, pos6, m.size, spec.empty)
+    vals, _ = _sample_volume(vol, pos6, m.size, spec.empty,
+                             streams=streams)
     vals = jnp.nan_to_num(vals, nan=spec.init)
     g = jnp.stack([vals[0] - vals[1], vals[2] - vals[3],
                    vals[4] - vals[5]], axis=-1)

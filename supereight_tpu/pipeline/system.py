@@ -113,6 +113,7 @@ class DenseSLAMSystem:
                 scan_stride=config.raycast_scan_stride,
                 near_rescue=config.raycast_near_rescue,
                 midsolve=config.raycast_midsolve,
+                gather_streams=config.raycast_gather_streams,
                 integrate_budget=config.integrate_budget,
                 alloc_stride=config.alloc_stride,
             ),
@@ -147,7 +148,8 @@ class DenseSLAMSystem:
                 w2_budget=config.raycast_w2_budget,
                 scan_stride=config.raycast_scan_stride,
                 near_rescue=config.raycast_near_rescue,
-                midsolve=config.raycast_midsolve)),
+                midsolve=config.raycast_midsolve,
+                gather_streams=config.raycast_gather_streams)),
         }
 
     # ---- reference-parity accessors ----
@@ -410,7 +412,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                      w2_budget: int = 8192,
                      scan_stride: float = 0.5,
                      midsolve: bool = False,
-                     near_rescue: bool = True) -> FrameState:
+                     near_rescue: bool = True,
+                     gather_streams: int = 1) -> FrameState:
     """raycasting() (`DenseSLAMSystem.cpp:191-204`): refresh the reference
     model maps from the current pose (only after the bootstrap frames).
 
@@ -437,7 +440,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                                  span_factor=span_factor, grad_table=grad,
                                  refine=refine, w2_budget=w2_budget,
                                  scan_stride=scan_stride, midsolve=midsolve,
-                                 near_rescue=near_rescue)
+                                 near_rescue=near_rescue,
+                                 gather_streams=gather_streams)
             return rc.vertex, rc.normal, pose
 
         def warp_fn(args):
@@ -468,7 +472,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                              span_factor=span_factor, grad_table=grad,
                              refine=refine, w2_budget=w2_budget,
                              scan_stride=scan_stride, midsolve=midsolve,
-                             near_rescue=near_rescue)
+                             near_rescue=near_rescue,
+                             gather_streams=gather_streams)
         return rc.vertex, rc.normal, pose
 
     def skip_fn(args):
@@ -497,7 +502,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   midsolve: bool = False,
                   integrate_budget: int = 0,
                   alloc_stride: float = 1.0,
-                  near_rescue: bool = True) -> FrameState:
+                  near_rescue: bool = True,
+                  gather_streams: int = 1) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
@@ -515,4 +521,5 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                             span_factor=span_factor, refine=refine,
                             raycast_rate=raycast_rate, warp=warp,
                             w2_budget=w2_budget, scan_stride=scan_stride,
-                            midsolve=midsolve, near_rescue=near_rescue)
+                            midsolve=midsolve, near_rescue=near_rescue,
+                            gather_streams=gather_streams)

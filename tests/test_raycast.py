@@ -265,3 +265,20 @@ class TestWarpMaps:
         py = np.floor(pc[:, 1] / pc[:, 2] + 0.5).astype(int)
         iy, ix = np.nonzero(valid)
         assert (px == ix).all() and (py == iy).all()
+
+
+def test_gather_streams_equivalence():
+    """streams>1 splits the sample gather into separate ops without
+    changing values (bench_data/stream_probe.json: the split is a ~4x
+    on-chip win at shipping shapes)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from supereight_tpu.pipeline.raycast import _sample_volume
+
+    rng = np.random.default_rng(5)
+    vol = jnp.asarray(rng.standard_normal((64, 512)), jnp.float32)
+    pos = jnp.asarray(rng.uniform(-4, 36, (7, 11, 3)), jnp.float32)
+    a, ia = _sample_volume(vol, pos, 32, jnp.nan, streams=1)
+    b, ib = _sample_volume(vol, pos, 32, jnp.nan, streams=4)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), equal_nan=True)
