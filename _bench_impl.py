@@ -95,15 +95,17 @@ def main():
     # The reference's canonical lr-traj2 command integrates every 4th
     # frame (-z 4, BASELINE.md / reference README.md:77-81).  This config
     # integrates EVERY frame (-z 1) and still beats the -z 4 run on both
-    # axes (64.4 fps @ ATE 2.27 cm vs 57.7 @ 2.54 — bench_data/
-    # ate_icp_256_hybrid_id2_ib3072_ss1.json): 4x the canonical fusion
+    # axes (73.4 fps @ ATE 2.36 cm vs 57.7 @ 2.54 — bench_data/
+    # ate_icp_256_hybrid_id2_ib3072_ss1_ar3.json): 4x the canonical fusion
     # rate at better accuracy.  Headline knobs (ATE-validated in
     # bench_data/): hybrid normals (half-res 6-tap gradient + per-pixel
     # along-ray correction), integrate_budget (frustum-compacted fusion
     # rows), icp_finest_decimate 2 (stride-2 finest ICP level),
     # scan_stride 1.0 (band-thickness fine-scan step; the full-res refine
-    # re-solves per pixel).  Quality records: 62.6 fps @ 2.10 cm (+
-    # midsolve), 57.9 @ 1.91 (scan_stride 0.5), 40.2 @ 1.73 (full ICP,
+    # re-solves per pixel), alloc_rate 3 (band march every 3rd frame —
+    # consecutive frames request near-identical block sets; fusion still
+    # runs every frame).  Quality records: 71.1 @ 2.34 (alloc_rate 2),
+    # 64.6 @ 1.99 (alloc_rate 1 + near_rescue), 40.9 @ 1.73 (full ICP,
     # volume normals).
     cfg = Configuration(volume_resolution=(SIZE,) * 3, volume_size=(4.8,) * 3,
                         pyramid=(10, 5, 4), integration_rate=1,
@@ -111,7 +113,8 @@ def main():
                         raycast_normals="hybrid",
                         integrate_budget=3072,
                         icp_finest_decimate=2,
-                        raycast_scan_stride=1.0)
+                        raycast_scan_stride=1.0,
+                        alloc_rate=3)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
 
@@ -120,7 +123,8 @@ def main():
         tracking_rate=1, integration_rate=1, bilateral=False,
         icp_threshold=cfg.icp_threshold,
         use_gt=False, neg_y=False, normals="hybrid",
-        integrate_budget=3072, finest_decimate=2, scan_stride=1.0)
+        integrate_budget=3072, finest_decimate=2, scan_stride=1.0,
+        alloc_rate=3)
 
     k_dev = jnp.asarray(k)
     eye = jnp.eye(4, dtype=jnp.float32)

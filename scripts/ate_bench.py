@@ -55,6 +55,7 @@ def main():
     icp_decim = _intflag("--icp-decim", 1)
     w2b = _intflag("--w2-budget", 8192)
     int_budget = _intflag("--int-budget", 0)
+    alloc_rate = _intflag("--alloc-rate", 1)
     alloc_stride = float(sys.argv[sys.argv.index("--alloc-stride") + 1]) \
         if "--alloc-stride" in sys.argv else 1.0
     scan_stride = float(sys.argv[sys.argv.index("--scan-stride") + 1]) \
@@ -93,6 +94,7 @@ def main():
                         raycast_w2_budget=w2b,
                         integrate_budget=int_budget,
                         alloc_stride=alloc_stride,
+                        alloc_rate=alloc_rate,
                         raycast_scan_stride=scan_stride,
                         raycast_midsolve=midsolve,
                         raycast_near_rescue=near_rescue,
@@ -112,6 +114,7 @@ def main():
                            finest_decimate=icp_decim, w2_budget=w2b,
                            integrate_budget=int_budget,
                            alloc_stride=alloc_stride,
+                           alloc_rate=alloc_rate,
                            scan_stride=scan_stride, midsolve=midsolve,
                            near_rescue=near_rescue,
                            gather_streams=gather_streams)
@@ -169,6 +172,7 @@ def main():
         "w2_budget": w2b,
         "integrate_budget": int_budget,
         "alloc_stride": alloc_stride,
+        "alloc_rate": alloc_rate,
         "scan_stride": scan_stride,
         "midsolve": midsolve,
         "near_rescue": near_rescue,
@@ -210,6 +214,8 @@ def main():
         mode += f"_ss{scan_stride:g}"
         if midsolve:
             mode += "m"
+    if alloc_rate > 1:
+        mode += f"_ar{alloc_rate}"
     if gather_streams > 1:
         mode += f"_gs{gather_streams}"
     if not near_rescue:

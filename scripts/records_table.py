@@ -35,6 +35,12 @@ def knobs(rec: dict) -> str:
         parts.append(f"w2b{rec['w2_budget']}")
     if rec.get("alloc_stride", 1.0) != 1.0:
         parts.append(f"as{rec['alloc_stride']:g}")
+    if rec.get("alloc_rate", 1) != 1:
+        parts.append(f"ar{rec['alloc_rate']}")
+    if rec.get("gather_streams", 1) != 1:
+        parts.append(f"gs{rec['gather_streams']}")
+    if not rec.get("near_rescue", True):
+        parts.append("nr")
     if rec.get("lazy_assoc"):
         parts.append("la")
     if rec.get("refine", "secant") != "secant":

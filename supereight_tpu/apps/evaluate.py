@@ -60,6 +60,52 @@ def ate(estimated: Sequence[np.ndarray], groundtruth: Sequence[np.ndarray],
     }
 
 
+def golden_section_search(lower: float, upper: float, epsilon: float, func):
+    """Golden-section minimisation of a unimodal 1-D function on
+    [lower, upper] to ``epsilon`` bracket width (the reference harness's
+    scale optimiser, `se_apps/scripts/_util.py:4`).
+
+    Returns (argmin, func(argmin))."""
+    phi = (np.sqrt(5.0) - 1.0) / 2.0
+    while abs(upper - lower) > epsilon:
+        a = upper - phi * (upper - lower)
+        b = lower + phi * (upper - lower)
+        if func(a) < func(b):
+            upper = b
+        else:
+            lower = a
+    center = (upper + lower) / 2.0
+    return center, func(center)
+
+
+def ate_scale_search(estimated: Sequence[np.ndarray],
+                     groundtruth: Sequence[np.ndarray],
+                     lower: float = 0.0, upper: float = 4.0,
+                     epsilon: float = 0.01) -> Dict[str, float]:
+    """ATE with a golden-section search over a global trajectory scale
+    (`se_apps/scripts/_run.py:366-380`): each candidate scale multiplies
+    the ESTIMATED positions, then a rigid (scale-free) Horn alignment is
+    applied and the RMSE scored.  Used for scale-ambiguous (monocular)
+    trajectories; for metric SLAM the optimum sits at ~1.0.
+
+    Returns the :func:`ate` stats at the optimum plus ``scale``."""
+    est = np.stack([np.asarray(T)[:3, 3] for T in estimated])
+    gt = np.stack([np.asarray(T)[:3, 3] for T in groundtruth])
+
+    def rmse_at(scale: float) -> float:
+        R, t, _ = horn_align(scale * est, gt)
+        aligned = (R @ (scale * est).T).T + t
+        return float(np.sqrt(np.mean(np.sum((aligned - gt) ** 2, axis=1))))
+
+    scale, _ = golden_section_search(lower, upper, epsilon, rmse_at)
+    scaled = [np.asarray(T).copy() for T in estimated]
+    for T in scaled:
+        T[:3, 3] *= scale
+    out = ate(scaled, groundtruth)
+    out["scale"] = float(scale)
+    return out
+
+
 def rpe(estimated: Sequence[np.ndarray], groundtruth: Sequence[np.ndarray],
         delta: int = 1) -> Dict[str, float]:
     """Relative pose error over a fixed frame delta

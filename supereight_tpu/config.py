@@ -60,6 +60,10 @@ class Configuration:
                                            # tmin (ADVICE r2 blind zone)
     raycast_scan_stride: float = 0.5       # fine-scan step, in band
                                            # thicknesses (0.5 = canonical)
+    alloc_rate: int = 1                    # run the allocation march every
+                                           # Nth frame (fusion still every
+                                           # integration frame; new regions
+                                           # allocate <=N-1 frames late)
     raycast_gather_streams: int = 1        # split raycast sample gathers
                                            # into N separate ops (XLA picks
                                            # a ~4x slower gather strategy

@@ -116,6 +116,7 @@ class DenseSLAMSystem:
                 gather_streams=config.raycast_gather_streams,
                 integrate_budget=config.integrate_budget,
                 alloc_stride=config.alloc_stride,
+                alloc_rate=config.alloc_rate,
             ),
             static_argnames=("use_gt", "neg_y"))
         # (no donation here: callers may hold references to earlier states;
@@ -136,7 +137,8 @@ class DenseSLAMSystem:
                 integration_stage, field=self.field,
                 integration_rate=config.integration_rate,
                 integrate_budget=config.integrate_budget,
-                alloc_stride=config.alloc_stride)),
+                alloc_stride=config.alloc_stride,
+                alloc_rate=config.alloc_rate)),
             "raycasting": jax.jit(functools.partial(
                 raycasting_stage, field=self.field,
                 normals=config.raycast_normals,
@@ -369,7 +371,8 @@ def tracking_stage(state: FrameState, k, frame, gt_pose, *, field,
 def integration_stage(state: FrameState, k, frame, *, field,
                       integration_rate,
                       integrate_budget: int = 0,
-                      alloc_stride: float = 1.0) -> FrameState:
+                      alloc_stride: float = 1.0,
+                      alloc_rate: int = 1) -> FrameState:
     """integration() (`DenseSLAMSystem.cpp:206-268`): integrates when
     tracked or during the bootstrap frames.  When the state carries a
     gradient table (raycast_normals == "stored") it is rebuilt here — the
@@ -385,11 +388,25 @@ def integration_stage(state: FrameState, k, frame, *, field,
     def integrate_fn(arg):
         m, grad = arg
         band = field.alloc_band()
-        if field.multiscale_alloc:
-            m = integration.allocate_ofusion(m, float_depth, pose, K, band)
+
+        def alloc_fn(mm):
+            if field.multiscale_alloc:
+                return integration.allocate_ofusion(mm, float_depth, pose,
+                                                    K, band)
+            return integration.allocate_sdf(mm, float_depth, pose, K, band,
+                                            stride=alloc_stride)
+
+        if alloc_rate > 1:
+            # TPU extension: at -z1 the band march + dedupe scatter run
+            # every frame (~2 ms) yet consecutive 30 fps frames request
+            # near-identical block sets; skipping alternate marches only
+            # delays first allocation of a NEW region by one frame (fusion
+            # still runs every frame on allocated blocks).  Bootstrap
+            # frames always allocate.
+            do_alloc = ((frame % alloc_rate) == 0) | (frame <= 5)
+            m = jax.lax.cond(do_alloc, alloc_fn, lambda mm: mm, m)
         else:
-            m = integration.allocate_sdf(m, float_depth, pose, K, band,
-                                         stride=alloc_stride)
+            m = alloc_fn(m)
         m = integration.integrate(m, field, float_depth, pose, K,
                                   timestamp=timestamp,
                                   budget=integrate_budget)
@@ -502,6 +519,7 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   midsolve: bool = False,
                   integrate_budget: int = 0,
                   alloc_stride: float = 1.0,
+                  alloc_rate: int = 1,
                   near_rescue: bool = True,
                   gather_streams: int = 1) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
@@ -515,7 +533,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
     state = integration_stage(state, k, frame, field=field,
                               integration_rate=integration_rate,
                               integrate_budget=integrate_budget,
-                              alloc_stride=alloc_stride)
+                              alloc_stride=alloc_stride,
+                              alloc_rate=alloc_rate)
     return raycasting_stage(state, k, frame, field=field, normals=normals,
                             second_window=second_window,
                             span_factor=span_factor, refine=refine,

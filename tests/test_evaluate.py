@@ -56,6 +56,34 @@ class TestATE:
         assert res["rmse"] < 1e-6
 
 
+class TestScaleSearch:
+    def test_golden_section_quadratic(self):
+        x, fx = evaluate.golden_section_search(
+            0.0, 4.0, 1e-4, lambda s: (s - 1.7) ** 2 + 3.0)
+        assert abs(x - 1.7) < 1e-3 and abs(fx - 3.0) < 1e-6
+
+    def test_recovers_trajectory_scale(self):
+        tr = make_traj()
+        shrunk = [np.asarray(T).copy() for T in tr]
+        for T in shrunk:
+            T[:3, 3] *= 0.5
+        res = evaluate.ate_scale_search(shrunk, tr)
+        assert abs(res["scale"] - 2.0) < 0.02
+        assert res["rmse"] < 1e-2
+        # agrees with the closed-form Horn scale
+        closed = evaluate.ate(shrunk, tr, with_scale=True)
+        assert abs(res["rmse"] - closed["rmse"]) < 1e-2
+
+    def test_metric_trajectory_scale_near_one(self):
+        tr = make_traj()
+        rng = np.random.default_rng(0)
+        noisy = [np.asarray(T).copy() for T in tr]
+        for T in noisy:
+            T[:3, 3] += rng.normal(scale=1e-3, size=3)
+        res = evaluate.ate_scale_search(noisy, tr)
+        assert abs(res["scale"] - 1.0) < 0.02
+
+
 class TestRPE:
     def test_identical_zero(self):
         tr = make_traj()

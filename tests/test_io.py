@@ -175,3 +175,34 @@ class TestCreateReader:
         assert mm.shape == (48, 64) and mm.dtype == np.uint16
         ref = raw.RawReader(base + ".raw").read(1)[0]
         np.testing.assert_array_equal(mm, ref)
+
+
+def test_live_replay_reader(tmp_path):
+    """The OpenNI live-stream contract, replayed from a .raw file: paced
+    frames, drop accounting, no random access (interface.h:532+)."""
+    import numpy as np
+    from supereight_tpu.io import raw as raw_io
+    from supereight_tpu.io.live import LiveReplayReader
+
+    p = str(tmp_path / "seq.raw")
+    w = raw_io.RawWriter(p, 8, 6)
+    for i in range(10):
+        w.write(np.full((6, 8), i + 1, np.uint16))
+    w.close()
+
+    # deterministic fake clock: consumer takes 2 frame periods per read
+    t = {"now": 100.0}
+    reader = LiveReplayReader(p, fps=30.0, clock=lambda: t["now"])
+    d0, _ = reader.read_next()                 # t=0 -> frame 0
+    assert d0[0, 0] == 1
+    t["now"] += 2.5 / 30.0                     # sensor produced 1, 2
+    d1, _ = reader.read_next()                 # -> frame 2 (frame 1 dropped)
+    assert d1[0, 0] == 3
+    assert reader.dropped == 1
+    # a fast consumer never re-reads an old frame
+    d2, _ = reader.read_next()
+    assert d2[0, 0] == 4
+    # stream end -> None (camera stops)
+    t["now"] += 100.0
+    assert reader.read_next() is None
+    assert reader.width == 8 and reader.height == 6
