@@ -55,8 +55,8 @@ def main():
     def run_variant(name, *, skip_raycast=False, skip_integrate=False,
                     use_gt=False, chunk=16, nf=NF, stale_view=False):
         # the bench.py headline knob set (hybrid normals, budgeted fusion,
-        # right-sized capacity) so the stage deltas describe the shipping
-        # configuration
+        # right-sized capacity, id2 ICP, scan_stride 1.0, alloc_rate 3) so
+        # the stage deltas describe the shipping configuration
         cfg = Configuration(volume_resolution=(SIZE,) * 3,
                             volume_size=(4.8,) * 3, pyramid=(10, 5, 4),
                             integration_rate=1, block_capacity=6144,
@@ -73,12 +73,14 @@ def main():
             state = psys.tracking_stage(state, k_dev, frame, gt, field=field,
                                         iterations=slam.iterations,
                                         tracking_rate=1, icp_threshold=1e-5,
-                                        use_gt=use_gt, neg_y=False)
+                                        use_gt=use_gt, neg_y=False,
+                                        finest_decimate=2)
             if not skip_integrate:
                 state = psys.integration_stage(state, k_dev, frame,
                                                field=field,
                                                integration_rate=1,
-                                               integrate_budget=3072)
+                                               integrate_budget=3072,
+                                               alloc_rate=3)
             if stale_view:
                 # raycast against a FROZEN packed view: isolates the
                 # per-frame pack_view cost (full - stale_view); all ray
@@ -86,13 +88,15 @@ def main():
                 view = state.pose @ camera.inverse_camera_matrix(k_dev)
                 rc = raycast.raycast(state.map, field, view, H, W,
                                      NEAR_PLANE, FAR_PLANE,
-                                     normals="hybrid", dense=dense0)
+                                     normals="hybrid", scan_stride=1.0,
+                                     dense=dense0)
                 state = state.replace(ref_vertex=rc.vertex,
                                       ref_normal=rc.normal,
                                       raycast_pose=state.pose)
             elif not skip_raycast:
                 state = psys.raycasting_stage(state, k_dev, frame,
-                                              field=field, normals="hybrid")
+                                              field=field, normals="hybrid",
+                                              scan_stride=1.0)
             return state
 
         dense0 = raycast.pack_view(slam.state.map, field) \

@@ -56,6 +56,7 @@ def main():
     w2b = _intflag("--w2-budget", 8192)
     int_budget = _intflag("--int-budget", 0)
     alloc_rate = _intflag("--alloc-rate", 1)
+    grad_decim = _intflag("--grad-decim", 1)
     alloc_stride = float(sys.argv[sys.argv.index("--alloc-stride") + 1]) \
         if "--alloc-stride" in sys.argv else 1.0
     scan_stride = float(sys.argv[sys.argv.index("--scan-stride") + 1]) \
@@ -95,6 +96,7 @@ def main():
                         integrate_budget=int_budget,
                         alloc_stride=alloc_stride,
                         alloc_rate=alloc_rate,
+                        raycast_grad_decim=grad_decim,
                         raycast_scan_stride=scan_stride,
                         raycast_midsolve=midsolve,
                         raycast_near_rescue=near_rescue,
@@ -114,7 +116,7 @@ def main():
                            finest_decimate=icp_decim, w2_budget=w2b,
                            integrate_budget=int_budget,
                            alloc_stride=alloc_stride,
-                           alloc_rate=alloc_rate,
+                           alloc_rate=alloc_rate, grad_decim=grad_decim,
                            scan_stride=scan_stride, midsolve=midsolve,
                            near_rescue=near_rescue,
                            gather_streams=gather_streams)
@@ -173,6 +175,7 @@ def main():
         "integrate_budget": int_budget,
         "alloc_stride": alloc_stride,
         "alloc_rate": alloc_rate,
+        "grad_decim": grad_decim,
         "scan_stride": scan_stride,
         "midsolve": midsolve,
         "near_rescue": near_rescue,
@@ -216,6 +219,8 @@ def main():
             mode += "m"
     if alloc_rate > 1:
         mode += f"_ar{alloc_rate}"
+    if grad_decim > 1:
+        mode += f"_gd{grad_decim}"
     if gather_streams > 1:
         mode += f"_gs{gather_streams}"
     if not near_rescue:

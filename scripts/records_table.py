@@ -37,6 +37,8 @@ def knobs(rec: dict) -> str:
         parts.append(f"as{rec['alloc_stride']:g}")
     if rec.get("alloc_rate", 1) != 1:
         parts.append(f"ar{rec['alloc_rate']}")
+    if rec.get("grad_decim", 1) != 1:
+        parts.append(f"gd{rec['grad_decim']}")
     if rec.get("gather_streams", 1) != 1:
         parts.append(f"gs{rec['gather_streams']}")
     if not rec.get("near_rescue", True):

@@ -120,7 +120,7 @@ def prepare_dataset(name: str, spec: dict, frames: int, workdir: str):
 
 def run(dataset: str, field: str = "sdf", resolution: int = 256,
         frames: int = 0, staged: bool = False, out: str = "",
-        extra_args=()):
+        extra_args=(), scale_search: bool = False):
     spec = DATASETS[dataset]
     workdir = out or tempfile.mkdtemp(prefix="se_run_")
     os.makedirs(workdir, exist_ok=True)
@@ -144,7 +144,13 @@ def run(dataset: str, field: str = "sdf", resolution: int = 256,
 
     gt_poses = groundtruth.read_poses(gtp)
     n = min(len(est_poses), len(gt_poses))
-    ate = evaluate.ate(est_poses[:n], gt_poses[:n])
+    # optional golden-section trajectory-scale search before alignment
+    # (the reference harness's `_run.py:366-380` path, for
+    # scale-ambiguous trajectories; metric SLAM optima sit at ~1.0)
+    if scale_search:
+        ate = evaluate.ate_scale_search(est_poses[:n], gt_poses[:n])
+    else:
+        ate = evaluate.ate(est_poses[:n], gt_poses[:n])
     rpe = evaluate.rpe(est_poses[:n], gt_poses[:n])
 
     # timing means from the TSV log (`_run.py:179`)
@@ -168,6 +174,8 @@ def run(dataset: str, field: str = "sdf", resolution: int = 256,
         "mean_computation_s": round(float(cols["computation"][4:].mean()), 5),
         "tracked_ratio": round(float(cols["tracked"].mean()), 3),
     }
+    if scale_search:
+        results["ate_scale"] = round(ate["scale"], 4)
     with open(os.path.join(workdir, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
     return results
@@ -182,9 +190,12 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=0)
     p.add_argument("--staged", action="store_true")
     p.add_argument("--out", default="")
+    p.add_argument("--ate-scale-search", action="store_true",
+                   help="golden-section trajectory-scale search before "
+                        "the Horn alignment (reference _run.py:366-380)")
     args = p.parse_args(argv)
     results = run(args.dataset, args.field, args.resolution, args.frames,
-                  args.staged, args.out)
+                  args.staged, args.out, scale_search=args.ate_scale_search)
     print(json.dumps(results, indent=2))
     return 0
 

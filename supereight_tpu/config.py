@@ -60,6 +60,11 @@ class Configuration:
                                            # tmin (ADVICE r2 blind zone)
     raycast_scan_stride: float = 0.5       # fine-scan step, in band
                                            # thicknesses (0.5 = canonical)
+    raycast_grad_decim: int = 1            # hybrid-normal lateral gradient
+                                           # subsampling beyond half-res
+                                           # (2 = quarter-res taps; the
+                                           # along-ray component stays
+                                           # per-pixel)
     alloc_rate: int = 1                    # run the allocation march every
                                            # Nth frame (fusion still every
                                            # integration frame; new regions

@@ -381,7 +381,8 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
             scan_stride: float = 0.5,
             midsolve: bool = False,
             near_rescue: bool = True,
-            gather_streams: int = 1) -> RaycastResult:
+            gather_streams: int = 1,
+            grad_decim: int = 1) -> RaycastResult:
     """Full raycastKernel (`rendering.cpp:50-90`): vertex + normal maps.
 
     Pipeline: block-splat start depths (phase 1, ~12k scattered elements)
@@ -581,9 +582,22 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         # per pixel with the along-ray derivative from the refine samples
         # (already gathered): the lateral components are shared across the
         # 2x2 upsample but the ray component is exact per pixel.
+        # ``grad_decim`` > 1 subsamples the gradient grid further (e.g. 2 =
+        # quarter-res lateral taps, 1/16 of full): each (2*gd)^2 pixel
+        # group shares lateral components; pixels whose sampled parent ray
+        # missed get invalid normals (the ICP's -3 status rejects them).
         vert_h = origin + fd * z_half[..., None]
-        g_h = _grad6(m, dense, field, vert_h,
-                     streams=gather_streams) * m.inverse_voxel_size
+        gd = int(grad_decim)
+        if gd > 1 and vert_h.shape[0] % gd == 0 and vert_h.shape[1] % gd == 0:
+            g_q = _grad6(m, dense, field, vert_h[::gd, ::gd],
+                         streams=gather_streams) * m.inverse_voxel_size
+            g_h = jnp.repeat(jnp.repeat(g_q, gd, 0), gd, 1)
+            grad_ok_h = jnp.repeat(jnp.repeat(hit_half[::gd, ::gd], gd, 0),
+                                   gd, 1)
+        else:
+            g_h = _grad6(m, dense, field, vert_h,
+                         streams=gather_streams) * m.inverse_voxel_size
+            grad_ok_h = jnp.ones_like(hit_half)
         up3 = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
         g_m = up3(g_h)
         rf_lo, rf_hi, rf_pair, delta = ref_extras
@@ -597,7 +611,7 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
             g_ = -g_
         gn = jnp.linalg.norm(g_, axis=-1, keepdims=True)
         normal = g_ / jnp.maximum(gn, 1e-12)
-        bad = ~hit | (gn[..., 0] == 0)
+        bad = ~hit | (gn[..., 0] == 0) | ~up3(grad_ok_h)
     elif normals == "image":
         normal, bad = _image_normals(vertex, hit, dirs)
     elif normals == "forward3":

@@ -111,6 +111,7 @@ class DenseSLAMSystem:
                 finest_decimate=config.icp_finest_decimate,
                 w2_budget=config.raycast_w2_budget,
                 scan_stride=config.raycast_scan_stride,
+                grad_decim=config.raycast_grad_decim,
                 near_rescue=config.raycast_near_rescue,
                 midsolve=config.raycast_midsolve,
                 gather_streams=config.raycast_gather_streams,
@@ -149,6 +150,7 @@ class DenseSLAMSystem:
                 warp=config.raycast_warp,
                 w2_budget=config.raycast_w2_budget,
                 scan_stride=config.raycast_scan_stride,
+                grad_decim=config.raycast_grad_decim,
                 near_rescue=config.raycast_near_rescue,
                 midsolve=config.raycast_midsolve,
                 gather_streams=config.raycast_gather_streams)),
@@ -428,6 +430,7 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                      warp: bool = False,
                      w2_budget: int = 8192,
                      scan_stride: float = 0.5,
+                     grad_decim: int = 1,
                      midsolve: bool = False,
                      near_rescue: bool = True,
                      gather_streams: int = 1) -> FrameState:
@@ -458,7 +461,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                                  refine=refine, w2_budget=w2_budget,
                                  scan_stride=scan_stride, midsolve=midsolve,
                                  near_rescue=near_rescue,
-                                 gather_streams=gather_streams)
+                                 gather_streams=gather_streams,
+                                 grad_decim=grad_decim)
             return rc.vertex, rc.normal, pose
 
         def warp_fn(args):
@@ -490,7 +494,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                              refine=refine, w2_budget=w2_budget,
                              scan_stride=scan_stride, midsolve=midsolve,
                              near_rescue=near_rescue,
-                             gather_streams=gather_streams)
+                             gather_streams=gather_streams,
+                             grad_decim=grad_decim)
         return rc.vertex, rc.normal, pose
 
     def skip_fn(args):
@@ -516,6 +521,7 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   finest_decimate: int = 1,
                   w2_budget: int = 8192,
                   scan_stride: float = 0.5,
+                  grad_decim: int = 1,
                   midsolve: bool = False,
                   integrate_budget: int = 0,
                   alloc_stride: float = 1.0,
@@ -541,4 +547,5 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                             raycast_rate=raycast_rate, warp=warp,
                             w2_budget=w2_budget, scan_stride=scan_stride,
                             midsolve=midsolve, near_rescue=near_rescue,
-                            gather_streams=gather_streams)
+                            gather_streams=gather_streams,
+                            grad_decim=grad_decim)
