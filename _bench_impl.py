@@ -95,18 +95,18 @@ def main():
     # The reference's canonical lr-traj2 command integrates every 4th
     # frame (-z 4, BASELINE.md / reference README.md:77-81).  This config
     # integrates EVERY frame (-z 1) and still beats the -z 4 run on both
-    # axes (73.4 fps @ ATE 2.36 cm vs 57.7 @ 2.54 — bench_data/
-    # ate_icp_256_hybrid_id2_ib3072_ss1_ar3.json): 4x the canonical fusion
-    # rate at better accuracy.  Headline knobs (ATE-validated in
-    # bench_data/): hybrid normals (half-res 6-tap gradient + per-pixel
-    # along-ray correction), integrate_budget (frustum-compacted fusion
-    # rows), icp_finest_decimate 2 (stride-2 finest ICP level),
-    # scan_stride 1.0 (band-thickness fine-scan step; the full-res refine
-    # re-solves per pixel), alloc_rate 3 (band march every 3rd frame —
-    # consecutive frames request near-identical block sets; fusion still
-    # runs every frame).  Quality records: 71.1 @ 2.34 (alloc_rate 2),
-    # 64.6 @ 1.99 (alloc_rate 1 + near_rescue), 40.9 @ 1.73 (full ICP,
-    # volume normals).
+    # axes (75.9 fps @ ATE 1.90 cm vs 57.7 @ 2.54 — bench_data/
+    # ate_icp_256_hybrid_id2_ib3072_ss1_ar2_gd2.json): 4x the canonical
+    # fusion rate at better accuracy.  Headline knobs (ATE-validated in
+    # bench_data/): hybrid normals (lateral gradient at quarter res via
+    # grad_decim 2 + per-pixel along-ray correction), integrate_budget
+    # (frustum-compacted fusion rows), icp_finest_decimate 2 (stride-2
+    # finest ICP level), scan_stride 1.0 (band-thickness fine-scan step;
+    # the full-res refine re-solves per pixel), alloc_rate 2 (band march
+    # every 2nd frame — consecutive frames request near-identical block
+    # sets; fusion still runs every frame).  Neighbouring records: 77.9 @
+    # 2.54 (alloc_rate 3 + gd2), 73.4 @ 2.36 (ar3 alone), 68.7 @ 1.97
+    # (gd2 alone), 40.9 @ 1.73 (full ICP, volume normals).
     cfg = Configuration(volume_resolution=(SIZE,) * 3, volume_size=(4.8,) * 3,
                         pyramid=(10, 5, 4), integration_rate=1,
                         block_capacity=6144,
@@ -114,7 +114,8 @@ def main():
                         integrate_budget=3072,
                         icp_finest_decimate=2,
                         raycast_scan_stride=1.0,
-                        alloc_rate=3)
+                        alloc_rate=2,
+                        raycast_grad_decim=2)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
 
@@ -124,7 +125,7 @@ def main():
         icp_threshold=cfg.icp_threshold,
         use_gt=False, neg_y=False, normals="hybrid",
         integrate_budget=3072, finest_decimate=2, scan_stride=1.0,
-        alloc_rate=3)
+        alloc_rate=2, grad_decim=2)
 
     k_dev = jnp.asarray(k)
     eye = jnp.eye(4, dtype=jnp.float32)

@@ -57,6 +57,7 @@ def main():
     int_budget = _intflag("--int-budget", 0)
     alloc_rate = _intflag("--alloc-rate", 1)
     grad_decim = _intflag("--grad-decim", 1)
+    inc_view = "--inc-view" in sys.argv
     alloc_stride = float(sys.argv[sys.argv.index("--alloc-stride") + 1]) \
         if "--alloc-stride" in sys.argv else 1.0
     scan_stride = float(sys.argv[sys.argv.index("--scan-stride") + 1]) \
@@ -97,6 +98,7 @@ def main():
                         alloc_stride=alloc_stride,
                         alloc_rate=alloc_rate,
                         raycast_grad_decim=grad_decim,
+                        incremental_view=inc_view,
                         raycast_scan_stride=scan_stride,
                         raycast_midsolve=midsolve,
                         raycast_near_rescue=near_rescue,
@@ -176,6 +178,7 @@ def main():
         "alloc_stride": alloc_stride,
         "alloc_rate": alloc_rate,
         "grad_decim": grad_decim,
+        "incremental_view": inc_view,
         "scan_stride": scan_stride,
         "midsolve": midsolve,
         "near_rescue": near_rescue,
@@ -221,6 +224,8 @@ def main():
         mode += f"_ar{alloc_rate}"
     if grad_decim > 1:
         mode += f"_gd{grad_decim}"
+    if inc_view:
+        mode += "_iv"
     if gather_streams > 1:
         mode += f"_gs{gather_streams}"
     if not near_rescue:

@@ -60,6 +60,12 @@ class Configuration:
                                            # tmin (ADVICE r2 blind zone)
     raycast_scan_stride: float = 0.5       # fine-scan step, in band
                                            # thicknesses (0.5 = canonical)
+    incremental_view: bool = False         # keep the raycast read view in
+                                           # FrameState: single-scale
+                                           # fields scatter only the rows
+                                           # fusion touched; multiscale
+                                           # rebuilds on integration frames
+                                           # only (vs every raycast)
     raycast_grad_decim: int = 1            # hybrid-normal lateral gradient
                                            # subsampling beyond half-res
                                            # (2 = quarter-res taps; the

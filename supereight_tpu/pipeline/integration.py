@@ -385,7 +385,7 @@ def fuse_rows(field, bc, live, data_rows, depth, T_cw, K, timestamp,
 
 def integrate(m: VoxelMap, field, depth: jnp.ndarray, pose: jnp.ndarray,
               K: jnp.ndarray, timestamp=0.0,
-              budget: int = 0) -> VoxelMap:
+              budget: int = 0, view=None):
     """Fuse one depth frame (projective_map equivalent).
 
     Per block: slice-gather its depth footprint patch (stride matched to the
@@ -402,6 +402,15 @@ def integrate(m: VoxelMap, field, depth: jnp.ndarray, pose: jnp.ndarray,
     Candidates past the budget keep their voxels but are deactivated like
     any invisible block; size the budget to the frustum (live visible
     blocks ~2.5k at 256^3), not the map.
+
+    ``view`` (optional, single-scale fields only): the raycaster's tiled
+    read view ``[B^3, 512]`` maintained INCREMENTALLY — only the rows this
+    call fused are re-encoded (`raycast.encode_view_rows`) and scattered
+    in, instead of `pack_view`'s full per-frame rebuild (measured 3.4 ms
+    of the 13.6 ms headline frame).  Sound because bricks change ONLY
+    here: allocation initializes voxels to the empty encoding (weight 0 ->
+    NaN == the view fill) and node updates touch the pyramid, not bricks.
+    Returns ``(map, view)`` when given, else ``map``.
     """
     T_cw = jnp.linalg.inv(pose)
     voxel_size = m.voxel_size
@@ -460,7 +469,25 @@ def integrate(m: VoxelMap, field, depth: jnp.ndarray, pose: jnp.ndarray,
         active = jnp.where(live_full, visible, m.active)
 
     m = m.replace(voxels=voxels, active=active)
-    return _update_nodes(m, field, depth, T_cw, K, timestamp)
+    m = _update_nodes(m, field, depth, T_cw, K, timestamp)
+
+    if view is not None:
+        if field.multiscale_alloc:
+            raise ValueError("incremental view: single-scale fields only "
+                             "(the multiscale node show-through re-selects "
+                             "every unallocated row)")
+        from supereight_tpu.pipeline import raycast as _raycast
+        # encode the POST-store values (same cast the brick table keeps)
+        # so the incremental view is bit-identical to a full rebuild
+        stored = {name: rows[name].astype(m.voxels[name].dtype)
+                  for name in rows}
+        enc = _raycast.encode_view_rows(field, stored)
+        B = m.blocks_per_edge
+        lin = bc[:, 0] * B * B + bc[:, 1] * B + bc[:, 2]
+        vt = jnp.where(live, lin, B * B * B)
+        view = view.at[vt].set(enc, mode="drop")
+        return m, view
+    return m
 
 
 def _update_nodes(m: VoxelMap, field, depth, T_cw, K, timestamp) -> VoxelMap:

@@ -64,6 +64,49 @@ def ray_directions(view: jnp.ndarray, H: int, W: int):
     return origin, dirs
 
 
+def view_dtype(field):
+    """Storage dtype of the single-scale read view: bf16 halves pack and
+    sample traffic for a [-1,1] TSDF (rounding <=2^-8 i.e. <1 mm surface
+    error at mu=0.1); fields whose select channel is not normalized keep
+    f32."""
+    return jnp.bfloat16 if field.invert_normals else jnp.float32
+
+
+def encode_view_rows(field, rows):
+    """NaN-encode channel rows for the tiled read view (the single-scale
+    rule of :func:`pack_view`): *invalid* samples — the reference's
+    weight==0 / unobserved skip (`rendering_impl.hpp:49-53`) — become NaN
+    so the sweep samples ONE array and `isnan` recovers validity.  Shared
+    by the full rebuild and the incremental per-frame update
+    (`integration.integrate(view=...)`), so both produce bit-identical
+    encodings."""
+    vals = {k: v.astype(jnp.float32) for k, v in rows.items()}
+    valid = field.sample_valid(vals)
+    return jnp.where(valid, vals[field.select_channel],
+                     jnp.nan).astype(view_dtype(field))
+
+
+def view_alloc_fill(view, m: VoxelMap, live_before, field):
+    """Incremental-view maintenance for ALLOCATION: rows of blocks that
+    became live since ``live_before`` flip from the unallocated fill
+    (e.g. the SDF's valid free-space 1.0) to the encoding of freshly
+    initialized voxels (weight 0 -> NaN).  Fusion handles every later
+    change (`integration.integrate(view=...)`)."""
+    with jax.ensure_compile_time_eval():
+        inits = {name: jnp.full((), spec.init, jnp.float32)
+                 for name, spec in ((c.name, c) for c in m.channels)}
+        iv = field.sample_valid(inits)
+        new_fill = float(inits[field.select_channel]) if bool(iv) \
+            else float("nan")
+    newly = octree.slot_mask(m) & ~live_before
+    B = m.blocks_per_edge
+    bc = octree.block_coords_table(m)
+    lin = bc[:, 0] * B * B + bc[:, 1] * B + bc[:, 2]
+    vt = jnp.where(newly, lin, B * B * B)
+    vals = jnp.full((m.capacity, view.shape[1]), new_fill, view.dtype)
+    return view.at[vt].set(vals, mode="drop")
+
+
 def pack_view(m: VoxelMap, field):
     """Dense read view for the raycaster.
 
@@ -119,14 +162,8 @@ def pack_view(m: VoxelMap, field):
         return {"F": jnp.where(has_leaf[:, None], flat, fill_cell[:, None])}
 
     # tiled path: encode on the block table, scatter rows once
-    data = {c.name: m.voxels[c.name].astype(jnp.float32)
-            for c in m.channels}
-    valid = field.sample_valid(data)
-    f = data[field.select_channel]
-    enc = jnp.where(valid, f, jnp.nan)
-    # bf16 halves pack/sample traffic; for a [-1,1] TSDF the rounding is
-    # <=2^-8, i.e. <1 mm surface error at mu=0.1
-    dtype = jnp.bfloat16 if field.invert_normals else jnp.float32
+    enc = encode_view_rows(field, m.voxels)
+    dtype = view_dtype(field)
     # what unallocated space reads: the field's empty values, NaN if the
     # field treats empty as unobserved
     with jax.ensure_compile_time_eval():

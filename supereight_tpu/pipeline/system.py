@@ -50,6 +50,11 @@ class FrameState(struct.PyTreeNode):
     #: unless config.raycast_warp
     rc_vertex: Optional[jnp.ndarray] = None
     rc_normal: Optional[jnp.ndarray] = None
+    #: incrementally-maintained tiled raycast read view [B^3, 512]
+    #: (raycast.pack_view layout); fusion scatters only the rows it
+    #: touched (integration.integrate(view=...)) instead of rebuilding
+    #: the whole view every frame.  None => rebuild per frame.
+    view: Optional[jnp.ndarray] = None
 
 
 class DenseSLAMSystem:
@@ -90,7 +95,8 @@ class DenseSLAMSystem:
                                 grad_normals=(config.raycast_normals
                                               == "stored"),
                                 warp=(config.raycast_warp and
-                                      config.raycast_rate > 1))
+                                      config.raycast_rate > 1),
+                                incremental_view=config.incremental_view)
 
         self._step = jax.jit(
             functools.partial(
@@ -303,7 +309,8 @@ def init_state(size: int, dim: float, field, H: int, W: int,
                init_pose, capacity: Optional[int] = None,
                partitions: int = 1,
                grad_normals: bool = False,
-               warp: bool = False) -> FrameState:
+               warp: bool = False,
+               incremental_view: bool = False) -> FrameState:
     m = octree.init(size, dim, field.channels, capacity=capacity,
                     partitions=partitions)
     z3 = jnp.zeros((H, W, 3), jnp.float32)
@@ -326,6 +333,7 @@ def init_state(size: int, dim: float, field, H: int, W: int,
         rc_vertex=jnp.zeros((H, W, 3), jnp.float32) if warp else None,
         rc_normal=(jnp.zeros((H, W, 3), jnp.float32).at[..., 0]
                    .set(INVALID)) if warp else None,
+        view=raycast.pack_view(m, field)["F"] if incremental_view else None,
     )
 
 
@@ -388,8 +396,9 @@ def integration_stage(state: FrameState, k, frame, *, field,
     pose = state.pose
 
     def integrate_fn(arg):
-        m, grad = arg
+        m, grad, view = arg
         band = field.alloc_band()
+        live_before = octree.slot_mask(m) if view is not None else None
 
         def alloc_fn(mm):
             if field.multiscale_alloc:
@@ -409,16 +418,33 @@ def integration_stage(state: FrameState, k, frame, *, field,
             m = jax.lax.cond(do_alloc, alloc_fn, lambda mm: mm, m)
         else:
             m = alloc_fn(m)
-        m = integration.integrate(m, field, float_depth, pose, K,
-                                  timestamp=timestamp,
-                                  budget=integrate_budget)
+        if view is not None and not field.multiscale_alloc:
+            # newly allocated rows flip from the unallocated fill to the
+            # fresh-voxel encoding before fusion scatters its updates
+            view = raycast.view_alloc_fill(view, m, live_before, field)
+            m, view = integration.integrate(m, field, float_depth, pose, K,
+                                            timestamp=timestamp,
+                                            budget=integrate_budget,
+                                            view=view)
+        else:
+            m = integration.integrate(m, field, float_depth, pose, K,
+                                      timestamp=timestamp,
+                                      budget=integrate_budget)
+            if view is not None:
+                # multiscale (occupancy): the node show-through re-selects
+                # every unallocated row, so rebuild — but only HERE, on
+                # integration frames (the map cannot change anywhere
+                # else), instead of inside every raycast.  At -z4 this
+                # amortizes the pack 4x.
+                view = raycast.pack_view(m, field)["F"]
         if grad is not None:
             grad = gradmap.build_table(m, field)
-        return m, grad
+        return m, grad, view
 
-    m, grad = jax.lax.cond(do_integrate, integrate_fn, lambda a: a,
-                           (state.map, state.grad))
-    return state.replace(map=m, grad=grad, integrated=do_integrate)
+    m, grad, view = jax.lax.cond(do_integrate, integrate_fn, lambda a: a,
+                                 (state.map, state.grad, state.view))
+    return state.replace(map=m, grad=grad, view=view,
+                         integrated=do_integrate)
 
 
 def raycasting_stage(state: FrameState, k, frame, *, field,
@@ -452,10 +478,11 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
 
     if warp and raycast_rate > 1:
         def raycast_fn(args):
-            m, pose, grad, _rc_v, _rc_n = args
+            m, pose, grad, dv, _rc_v, _rc_n = args
             view = pose @ camera.inverse_camera_matrix(k)
             rc = raycast.raycast(m, field, view, H, W, NEAR_PLANE,
                                  FAR_PLANE, normals=normals,
+                                 dense=None if dv is None else {"F": dv},
                                  second_window=second_window,
                                  span_factor=span_factor, grad_table=grad,
                                  refine=refine, w2_budget=w2_budget,
@@ -466,7 +493,7 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
             return rc.vertex, rc.normal, pose
 
         def warp_fn(args):
-            _m, pose, _grad, rc_v, rc_n = args
+            _m, pose, _grad, _dv, rc_v, rc_n = args
             view = camera.camera_matrix(k) @ camera.inverse_pose(pose)
             wv, wn = raycast.warp_maps(rc_v, rc_n, view, H, W)
             return wv, wn, pose
@@ -477,7 +504,7 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
         # the TPU runtime reject the donated-scan program
         ref_vertex, ref_normal, raycast_pose = jax.lax.cond(
             do_raycast, raycast_fn, warp_fn,
-            (state.map, state.pose, state.grad,
+            (state.map, state.pose, state.grad, state.view,
              state.rc_vertex, state.rc_normal))
         rc_v = jnp.where(do_raycast, ref_vertex, state.rc_vertex)
         rc_n = jnp.where(do_raycast, ref_normal, state.rc_normal)
@@ -486,10 +513,12 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                              raycast_pose=raycast_pose)
 
     def raycast_fn(args):
-        m, pose, grad = args
+        m, pose, grad, dv = args
         view = pose @ camera.inverse_camera_matrix(k)
         rc = raycast.raycast(m, field, view, H, W, NEAR_PLANE, FAR_PLANE,
-                             normals=normals, second_window=second_window,
+                             normals=normals,
+                             dense=None if dv is None else {"F": dv},
+                             second_window=second_window,
                              span_factor=span_factor, grad_table=grad,
                              refine=refine, w2_budget=w2_budget,
                              scan_stride=scan_stride, midsolve=midsolve,
@@ -503,7 +532,7 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
 
     ref_vertex, ref_normal, raycast_pose = jax.lax.cond(
         do_raycast, raycast_fn, skip_fn,
-        (state.map, state.pose, state.grad))
+        (state.map, state.pose, state.grad, state.view))
     return state.replace(ref_vertex=ref_vertex, ref_normal=ref_normal,
                          raycast_pose=raycast_pose)
 

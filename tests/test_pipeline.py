@@ -304,3 +304,73 @@ class TestNoiseRobustness:
         err = np.linalg.norm(np.asarray(st.pose)[:3, 3] - poses[-1][:3, 3])
         assert err < 0.15
         assert bool(st.tracked)
+
+
+class TestIncrementalView:
+    """The incrementally-maintained raycast read view (FrameState.view,
+    `integration.integrate(view=...)`) must be bit-identical to
+    `raycast.pack_view`'s full per-frame rebuild — bricks change only in
+    fusion, so scattering just the fused rows is exact, not approximate."""
+
+    @pytest.mark.parametrize("budget", [0, 512])
+    def test_matches_full_rebuild(self, budget):
+        from supereight_tpu.pipeline import raycast
+
+        depths, poses = make_seq(8, sweep=0.06)
+        outs = []
+        for inc in (False, True):
+            cfg = Configuration(volume_resolution=(128,) * 3,
+                                volume_size=(DIM,) * 3, pyramid=(4, 3, 2),
+                                block_capacity=4096, integration_rate=1,
+                                integrate_budget=budget,
+                                incremental_view=inc)
+            slam = DenseSLAMSystem((H, W), cfg)
+            slam.setPose(poses[0])
+            for i in range(8):
+                slam.step(depths[i], K4, i)
+            outs.append(slam)
+        ref, inc = outs
+        assert inc.state.view is not None and ref.state.view is None
+        # THE correctness property: the maintained view equals a
+        # from-scratch rebuild of the final map, bitwise.  (Compare in
+        # f32: numpy's equality helpers mis-handle NaN on the ml_dtypes
+        # bfloat16 extension type; the cast is exact.)
+        rebuilt = np.asarray(raycast.pack_view(inc.state.map,
+                                               inc.field)["F"],
+                             dtype=np.float32)
+        held = np.asarray(inc.state.view, dtype=np.float32)
+        np.testing.assert_array_equal(rebuilt, held)
+        # Trajectories agree to float-fusion tolerance.  They are NOT
+        # bitwise equal: the two jitted programs differ (inline pack_view
+        # vs view input), XLA fuses them differently, and eager-mode runs
+        # of both paths ARE bitwise identical — so any drift here is
+        # compiler float reassociation amplified by ICP, not semantics.
+        np.testing.assert_allclose(np.asarray(ref.state.pose)[:3, 3],
+                                   np.asarray(inc.state.pose)[:3, 3],
+                                   atol=0.05)
+        assert bool(inc.state.tracked)
+
+    def test_ofusion_cached_view_matches(self):
+        """Multiscale: the view held in FrameState (rebuilt on integration
+        frames only) equals a from-scratch rebuild of the final map."""
+        from supereight_tpu.pipeline import raycast
+
+        depths, poses = make_seq(8, sweep=0.06)
+        cfg = Configuration(volume_resolution=(128,) * 3,
+                            volume_size=(DIM,) * 3, pyramid=(4, 3, 2),
+                            block_capacity=4096, integration_rate=2,
+                            field_type="ofusion", incremental_view=True)
+        slam = DenseSLAMSystem((H, W), cfg)
+        slam.setPose(poses[0])
+        for i in range(8):
+            slam.step(depths[i], K4, i)
+        rebuilt = np.asarray(raycast.pack_view(slam.state.map,
+                                               slam.field)["F"],
+                             dtype=np.float32)
+        held = np.asarray(slam.state.view, dtype=np.float32)
+        np.testing.assert_array_equal(rebuilt, held)
+        # same trajectory as the rebuild path (tracked flags and pose are
+        # bit-for-bit chaotic on this tiny scene; the bound is enough)
+        err = np.linalg.norm(np.asarray(slam.state.pose)[:3, 3]
+                             - poses[-1][:3, 3])
+        assert err < 0.1
