@@ -55,7 +55,8 @@ def main():
     def run_variant(name, *, skip_raycast=False, skip_integrate=False,
                     use_gt=False, chunk=16, nf=NF, stale_view=False):
         # the bench.py headline knob set (hybrid normals, budgeted fusion,
-        # right-sized capacity, id2 ICP, scan_stride 1.0, alloc_rate 3) so
+        # right-sized capacity, id2 ICP, scan_stride 1.0, alloc_rate 2,
+        # grad_decim 2) so
         # the stage deltas describe the shipping configuration
         cfg = Configuration(volume_resolution=(SIZE,) * 3,
                             volume_size=(4.8,) * 3, pyramid=(10, 5, 4),
@@ -80,7 +81,7 @@ def main():
                                                field=field,
                                                integration_rate=1,
                                                integrate_budget=3072,
-                                               alloc_rate=3)
+                                               alloc_rate=2)
             if stale_view:
                 # raycast against a FROZEN packed view: isolates the
                 # per-frame pack_view cost (full - stale_view); all ray
@@ -89,14 +90,14 @@ def main():
                 rc = raycast.raycast(state.map, field, view, H, W,
                                      NEAR_PLANE, FAR_PLANE,
                                      normals="hybrid", scan_stride=1.0,
-                                     dense=dense0)
+                                     grad_decim=2, dense=dense0)
                 state = state.replace(ref_vertex=rc.vertex,
                                       ref_normal=rc.normal,
                                       raycast_pose=state.pose)
             elif not skip_raycast:
                 state = psys.raycasting_stage(state, k_dev, frame,
                                               field=field, normals="hybrid",
-                                              scan_stride=1.0)
+                                              scan_stride=1.0, grad_decim=2)
             return state
 
         dense0 = raycast.pack_view(slam.state.map, field) \

@@ -226,6 +226,8 @@ def main():
         mode += f"_gd{grad_decim}"
     if inc_view:
         mode += "_iv"
+    if span != 1.6:
+        mode += f"_sp{span:g}"
     if gather_streams > 1:
         mode += f"_gs{gather_streams}"
     if not near_rescue:

@@ -39,6 +39,10 @@ def knobs(rec: dict) -> str:
         parts.append(f"ar{rec['alloc_rate']}")
     if rec.get("grad_decim", 1) != 1:
         parts.append(f"gd{rec['grad_decim']}")
+    if rec.get("incremental_view"):
+        parts.append("iv")
+    if rec.get("span_factor", 1.6) != 1.6:
+        parts.append(f"sp{rec['span_factor']:g}")
     if rec.get("gather_streams", 1) != 1:
         parts.append(f"gs{rec['gather_streams']}")
     if not rec.get("near_rescue", True):
