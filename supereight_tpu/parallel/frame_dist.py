@@ -103,7 +103,8 @@ def make_process_frame_sharded(
         span_factor: float = 1.6, refine: str = "secant",
         finest_decimate: int = 1, w2_budget: int = 8192,
         scan_stride: float = 0.5, midsolve: bool = False,
-        alloc_stride: float = 1.0, near_rescue: bool = True,
+        alloc_stride: float = 1.0, alloc_rate: int = 1,
+        grad_decim: int = 1, near_rescue: bool = True,
         max_visible_per_device: int = 1024,
         axis: str = MAP_AXIS):
     """Build ``step(state, depth_mm, k, frame, gt_pose, *, use_gt, neg_y)``
@@ -194,6 +195,12 @@ def make_process_frame_sharded(
             T_cw = jnp.linalg.inv(st.pose)
             band = field.alloc_band()
             gate = do_integrate  # replicated predicate; masks, not conds
+            # alloc_rate: skip the march on off frames (masked, so the
+            # collective schedule stays identical on every device)
+            alloc_gate = gate
+            if alloc_rate > 1:
+                alloc_gate = gate & (((frame % alloc_rate) == 0)
+                                     | (frame <= 5))
 
             if field.multiscale_alloc:
                 masks = integration.ofusion_wanted_masks(
@@ -201,7 +208,7 @@ def make_process_frame_sharded(
                     row_share=(dev, n_dev))
                 masks = [jax.lax.psum(mk.astype(jnp.int32), axis) > 0
                          for mk in masks]
-                masks = [mk & gate for mk in masks]
+                masks = [mk & alloc_gate for mk in masks]
                 m1 = octree.allocate_octant_masks(m0, masks)
             else:
                 decim = integration._alloc_decimation(
@@ -211,7 +218,7 @@ def make_process_frame_sharded(
                     band=band, decim=decim, stride=alloc_stride,
                     row_share=(dev, n_dev))
                 wanted = jax.lax.psum(wanted.astype(jnp.int32), axis) > 0
-                m1 = octree.allocate_block_mask(m0, wanted & gate)
+                m1 = octree.allocate_block_mask(m0, wanted & alloc_gate)
 
             # owner-local fusion over this device's slot range
             bc_full = octree.block_coords_table(m1)
@@ -249,7 +256,7 @@ def make_process_frame_sharded(
                 second_window=second_window, span_factor=span_factor,
                 refine=refine, w2_budget=w2_budget,
                 scan_stride=scan_stride, midsolve=midsolve,
-                near_rescue=near_rescue)
+                near_rescue=near_rescue, grad_decim=grad_decim)
             # reassemble full reference maps on every device (tracking
             # associates across the whole image next frame)
             ref_v = jax.lax.all_gather(rc.vertex, axis, tiled=True)

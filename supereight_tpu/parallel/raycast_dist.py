@@ -171,6 +171,7 @@ def sharded_raycast(mesh: Mesh, field, H: int, W: int,
                     midsolve: bool = False,
                     near_rescue: bool = True,
                     w2_budget: int = 8192,
+                    grad_decim: int = 1,
                     axis: str = MAP_AXIS):
     """Build ``fn(m, view) -> (vertex, normal, t_hit, n_dropped)``.
 
@@ -222,7 +223,7 @@ def sharded_raycast(mesh: Mesh, field, H: int, W: int,
                 normals=normals, second_window=second_window,
                 span_factor=span_factor, scan_stride=scan_stride,
                 midsolve=midsolve, near_rescue=near_rescue,
-                w2_budget=w2_budget)
+                w2_budget=w2_budget, grad_decim=grad_decim)
             return rc.vertex, rc.normal, rc.t_hit, dropped[None]
 
         return body(m.voxels, stub, view)

@@ -344,6 +344,41 @@ class TestUnifiedShardedFrame:
             np.testing.assert_allclose(a, b, atol=1e-4)
         assert int(sharded.map.overflow) == 0
 
+    def test_alloc_rate_frame_matches_single(self, frames):
+        """alloc_rate gating uses a masked request (not a cond) in the
+        sharded frame — the skipped-march frames must still match
+        process_frame's lax.cond path exactly."""
+        from supereight_tpu.parallel import frame_dist
+
+        # 8 frames: the march gate only engages past the bootstrap
+        # (frame > 5), which the 4-frame module fixture never reaches
+        poses8 = orbit_poses(8, 4.8, sweep=0.02)
+        depths = [np.clip(np.asarray(render_depth(
+            jnp.asarray(p), jnp.asarray(K4), 4.8, H, W)) * 1000,
+            0, 65535).astype(np.uint16) for p in poses8]
+        slam, _ = build(partitions=8)
+        fn = functools.partial(
+            process_frame, field=slam.field, iterations=slam.iterations,
+            tracking_rate=1, integration_rate=1, bilateral=False,
+            icp_threshold=1e-5, use_gt=False, neg_y=False, alloc_rate=2)
+        single = run_frames(slam.state, fn, depths)
+
+        slam2, _ = build(partitions=8)
+        mesh = make_mesh(8)
+        st = frame_dist.frame_sharding(mesh)(slam2.state)
+        step = frame_dist.make_process_frame_sharded(
+            mesh, slam2.field, H, W, iterations=slam2.iterations,
+            normals="volume", alloc_rate=2, max_visible_per_device=256)
+        jstep = jax.jit(functools.partial(step, use_gt=False, neg_y=False))
+        for i, d in enumerate(depths):
+            st = jstep(st, jnp.asarray(d), jnp.asarray(K4),
+                       jnp.asarray(i, jnp.int32),
+                       jnp.eye(4, dtype=jnp.float32))
+        sharded = jax.device_get(st)
+        assert int(single.map.n_blocks) == int(sharded.map.n_blocks)
+        np.testing.assert_allclose(np.asarray(single.pose),
+                                   np.asarray(sharded.pose), atol=1e-4)
+
     def test_ofusion_frame_matches_single(self, frames):
         depths, _ = frames
         cfg = Configuration(volume_resolution=(64,) * 3,
@@ -415,6 +450,21 @@ class TestShardedRaycastExtensions:
         np.testing.assert_allclose(np.asarray(t), np.asarray(rc.t_hit),
                                    atol=1e-4)
         np.testing.assert_allclose(np.asarray(n), np.asarray(rc.normal),
+                                   atol=1e-3)
+        # headline grad_decim=2: each strip's half-res row offset (dev*10)
+        # is even, so strip-local quarter-res taps hit the same global
+        # grid as the unsharded run
+        rc2 = jax.jit(lambda mm, vv: raycast.raycast(
+            mm, slam.field, vv, H2, W2, NEAR_PLANE, FAR_PLANE,
+            normals="hybrid", grad_decim=2))(state.map, view)
+        dist2 = raycast_dist.sharded_raycast(
+            mesh, slam.field, H2, W2, NEAR_PLANE, FAR_PLANE,
+            max_visible_per_device=256, normals="hybrid", grad_decim=2)
+        _, n2, t2, drop2 = jax.jit(dist2)(state.map, view)
+        assert int(np.asarray(drop2).sum()) == 0
+        np.testing.assert_allclose(np.asarray(t2), np.asarray(rc2.t_hit),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(n2), np.asarray(rc2.normal),
                                    atol=1e-3)
 
     def test_multiscale_exchange_matches(self, frames):
