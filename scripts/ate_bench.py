@@ -58,6 +58,10 @@ def main():
     alloc_rate = _intflag("--alloc-rate", 1)
     grad_decim = _intflag("--grad-decim", 1)
     inc_view = "--inc-view" in sys.argv
+    bilateral = "--bilateral" in sys.argv
+    frames_npz = sys.argv[sys.argv.index("--frames-npz") + 1] \
+        if "--frames-npz" in sys.argv else "synthetic_256_frames.npz"
+
     alloc_stride = float(sys.argv[sys.argv.index("--alloc-stride") + 1]) \
         if "--alloc-stride" in sys.argv else 1.0
     scan_stride = float(sys.argv[sys.argv.index("--scan-stride") + 1]) \
@@ -75,7 +79,7 @@ def main():
     from supereight_tpu.apps import evaluate
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    z = np.load(os.path.join(here, "bench_data/synthetic_256_frames.npz"))
+    z = np.load(os.path.join(here, "bench_data", frames_npz))
     depths, poses = z["depths"], z["poses"]
     k = np.asarray([240.6, 240.0, 160.0, 120.0], np.float32)
     H, W, SIZE, NF = 240, 320, size, nf
@@ -109,7 +113,7 @@ def main():
 
     fn = functools.partial(process_frame, field=slam.field,
                            iterations=slam.iterations, tracking_rate=1,
-                           integration_rate=int_rate, bilateral=False,
+                           integration_rate=int_rate, bilateral=bilateral,
                            icp_threshold=cfg.icp_threshold,
                            use_gt=use_gt, neg_y=False, normals=normals,
                            second_window=second_window, span_factor=span,
@@ -179,6 +183,8 @@ def main():
         "alloc_rate": alloc_rate,
         "grad_decim": grad_decim,
         "incremental_view": inc_view,
+        "bilateral": bilateral,
+        "sequence": frames_npz.replace(".npz", ""),
         "scan_stride": scan_stride,
         "midsolve": midsolve,
         "near_rescue": near_rescue,
@@ -226,6 +232,12 @@ def main():
         mode += f"_gd{grad_decim}"
     if inc_view:
         mode += "_iv"
+    if bilateral:
+        mode += "_bf"
+    if frames_npz != "synthetic_256_frames.npz":
+        tag = frames_npz.replace("synthetic_256_frames_", "")\
+                        .replace(".npz", "")
+        mode += f"_{tag}"
     if span != 1.6:
         mode += f"_sp{span:g}"
     if gather_streams > 1:
