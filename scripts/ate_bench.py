@@ -133,7 +133,7 @@ def main():
     def scan_step(state, inp):
         depth, frame, gt = inp
         state = fn(state, depth, k_dev, frame, gt)
-        return state, state.pose
+        return state, (state.pose, state.tracked)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_chunk(state, depth_chunk, frame0, gts):
@@ -149,19 +149,27 @@ def main():
     jax.block_until_ready(st.pose)
     print(f"# compile+first chunk: {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
-    all_ps = [np.asarray(ps)]
+    all_ps = [np.asarray(ps[0])]
+    all_tr = [np.asarray(ps[1])]
     t0 = time.perf_counter()
     for s in range(CHUNK, NF, CHUNK):
         st, ps = run_chunk(st, depths_dev[s:s + CHUNK],
                            jnp.asarray(s, jnp.int32), gt_dev[s:s + CHUNK])
-        all_ps.append(ps)
+        all_ps.append(np.asarray(ps[0]))
+        all_tr.append(np.asarray(ps[1]))
     np.asarray(st.pose)
     dt = time.perf_counter() - t0
     fps = (NF - CHUNK) / dt
-    est = np.concatenate([np.asarray(p) for p in all_ps], axis=0)
+    est = np.concatenate(all_ps, axis=0)
+    tracked_flags = np.concatenate(all_tr, axis=0)
 
     ate = evaluate.ate(list(est), list(poses[:NF]))
     rpe = evaluate.rpe(list(est), list(poses[:NF]))
+    # per-frame aligned error profile (diagnosis: transient mistracks vs
+    # steady drift) — always cheap, stored only with --dump-traj
+    R_, t_, s_ = evaluate.horn_align(est[:, :3, 3], poses[:NF, :3, 3])
+    aligned = (R_ @ est[:, :3, 3].T).T + t_
+    per_frame = np.linalg.norm(aligned - poses[:NF, :3, 3], axis=1)
     rec = {
         "frames": NF,
         "size": SIZE,
@@ -195,8 +203,15 @@ def main():
         "rpe_trans_rmse_m": round(rpe["trans_rmse"], 5),
         "rpe_rot_rmse_deg": round(rpe["rot_rmse_deg"], 3),
         "blocks": int(st.map.n_blocks),
+        "worst_frame": int(np.argmax(per_frame)),
+        "tracked_frames": int(tracked_flags.sum()),
         "overflow": int(st.map.overflow),
     }
+    if "--dump-traj" in sys.argv:
+        rec["per_frame_err_m"] = [round(float(e), 4) for e in per_frame]
+        rec["tracked"] = [int(t) for t in tracked_flags]
+        rec["est_xyz"] = [[round(float(v), 4) for v in p]
+                          for p in est[:, :3, 3]]
     print(json.dumps(rec))
     suffix = "" if field_name == "sdf" else "_ofusion"
     mode = "" if not use_gt else "_gt"

@@ -71,13 +71,15 @@ def main():
     ap.add_argument("--field", default="sdf", choices=["sdf", "ofusion"])
     ap.add_argument("--mu", type=float, default=None)
     ap.add_argument("--init-pose", default="0.5,0.5,0.27")
+    ap.add_argument("--frames-npz", default="synthetic_256_frames.npz",
+                    help="sequence under bench_data/ (alt/noisy variants)")
     args = ap.parse_args()
     if args.field == "ofusion":
         args.binary = args.binary.replace("-sdf-", "-ofusion-")
     mu = args.mu if args.mu is not None else (
         0.1 if args.field == "sdf" else 0.008)
 
-    npz = os.path.join(REPO, "bench_data/synthetic_256_frames.npz")
+    npz = os.path.join(REPO, "bench_data", args.frames_npz)
     raw_path = "/tmp/anchor.raw"
     poses = export_raw(npz, raw_path)
     gt_xyz = poses[:, :3, 3].astype(np.float64)
@@ -111,7 +113,10 @@ def main():
         "host": "this container (1 CPU core, OpenMP)",
         "cmd": " ".join(cmd),
     }
-    path = os.path.join(REPO, f"bench_data/ref_anchor_{args.field}.json")
+    tag = args.frames_npz.replace("synthetic_256_frames", "")\
+        .replace(".npz", "")
+    out["sequence"] = args.frames_npz.replace(".npz", "")
+    path = os.path.join(REPO, f"bench_data/ref_anchor_{args.field}{tag}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

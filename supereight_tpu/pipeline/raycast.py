@@ -213,6 +213,43 @@ def _sample_volume(vol, pos_vox, size, fill, streams: int = 1):
     return jnp.where(inb, val, jnp.float32(fill)), inb
 
 
+def _sample_volume_interp(vol, pos_vox, size, nan_sub, streams: int = 1):
+    """Trilinear sample from the tiled view — the reference's
+    ``volume.interp`` (`octree.hpp:542-563`, used by its raycaster near
+    the surface, `kfusion/rendering_impl.hpp:55-57`): 8 corner gathers
+    blended by the fractional position.  NaN taps (weight==0 voxels,
+    whose RAW value the reference blends) and out-of-bounds taps read
+    ``nan_sub`` — the field's init/empty value (1.0 for the TSDF).
+
+    8x the descriptors of :func:`_sample_volume`; quality knob for noisy
+    sensors, where nearest-tap crossing solves amplify per-voxel noise.
+    """
+    base = jnp.floor(pos_vox).astype(jnp.int32)
+    frac = pos_vox - base
+    B = size // BLOCK_SIDE
+    out = 0.0
+    for i in range(8):
+        off = jnp.array([i & 1, (i >> 1) & 1, (i >> 2) & 1], jnp.int32)
+        v = base + off
+        inb = ((v >= 0) & (v < size)).all(axis=-1)
+        vc = jnp.clip(v, 0, size - 1)
+        if vol.ndim == 2:
+            b = vc >> 3
+            l = vc & 7
+            row = (b[..., 0] * B + b[..., 1]) * B + b[..., 2]
+            col = l[..., 0] + l[..., 1] * 8 + l[..., 2] * 64
+            val = _gather2(vol, row, col, streams)
+        else:
+            val = _gather2(vol.reshape(vol.shape[0], -1), vc[..., 0],
+                           vc[..., 1] * vol.shape[2] + vc[..., 2], streams)
+        val = jnp.where(inb & ~jnp.isnan(val), val, jnp.float32(nan_sub))
+        w = (jnp.where(off[0] == 1, frac[..., 0], 1.0 - frac[..., 0])
+             * jnp.where(off[1] == 1, frac[..., 1], 1.0 - frac[..., 1])
+             * jnp.where(off[2] == 1, frac[..., 2], 1.0 - frac[..., 2]))
+        out = out + val * w
+    return out
+
+
 def _gather2(vol2d, row, col, streams: int = 1):
     """``vol2d[row, col] -> f32``, optionally as ``streams`` separate
     gather ops over equal chunks of the flattened index set."""
@@ -591,9 +628,15 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
             z_hit = jnp.where(hit, jnp.clip(z_pl, z_hit - delta,
                                             z_hit + delta), z_hit)
         else:
+            interp_sub = None
+            if refine == "interp":
+                # noise-robust quality mode: reference-style trilinear
+                # re-solve; unobserved taps blend the raw init value
+                interp_sub = next(c.init for c in m.channels
+                                  if c.name == field.select_channel)
             z_hit, hit, rf_lo, rf_hi, rf_pair = _refine(
                 m, dense, field, origin, dirs, z_hit, hit, delta,
-                streams=gather_streams)
+                interp_sub=interp_sub, streams=gather_streams)
             ref_extras = (rf_lo, rf_hi, rf_pair, delta)
 
     vertex = origin + dirs * z_hit[..., None]
@@ -649,6 +692,19 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         gn = jnp.linalg.norm(g_, axis=-1, keepdims=True)
         normal = g_ / jnp.maximum(gn, 1e-12)
         bad = ~hit | (gn[..., 0] == 0) | ~up3(grad_ok_h)
+    elif normals == "exact":
+        # the reference's exact trilinearly-blended central-difference
+        # gradient (octree.grad == `octree.hpp:566-737`), read from the
+        # RAW brick table (weight-0 voxels contribute their init value,
+        # as the reference's gather does).  ~48 gather descriptors per
+        # pixel: a quality mode for noisy sensors, not the headline.
+        g_ = octree.grad(m, field.select_channel,
+                         vertex * m.inverse_voxel_size)
+        if field.invert_normals:
+            g_ = -g_
+        gn = jnp.linalg.norm(g_, axis=-1, keepdims=True)
+        normal = g_ / jnp.maximum(gn, 1e-12)
+        bad = ~hit | (gn[..., 0] == 0)
     elif normals == "image":
         normal, bad = _image_normals(vertex, hit, dirs)
     elif normals == "forward3":
@@ -751,6 +807,7 @@ def _image_normals(vertex, hit, dirs):
 
 
 def _refine(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta,
+            interp_sub=None,
             streams: int = 1):
     """Full-res re-solve of the crossing within +/-delta of ``z_hit``.
 
@@ -764,6 +821,12 @@ def _refine(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta,
     def sample(z):
         # NaN OOB fill: out-of-volume samples are invalid (never pair up)
         pos = (origin + dirs * z[..., None]) * inv_vs
+        if interp_sub is not None:
+            # reference-style trilinear re-solve (volume.interp near the
+            # surface, kfusion/rendering_impl.hpp:55-57): unobserved taps
+            # blend the raw init value, so samples always pair
+            return _sample_volume_interp(dense["F"], pos, m.size,
+                                         interp_sub, streams=streams)
         f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan,
                               streams=streams)
         return f

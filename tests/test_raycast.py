@@ -282,3 +282,51 @@ def test_gather_streams_equivalence():
     b, ib = _sample_volume(vol, pos, 32, jnp.nan, streams=4)
     np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), equal_nan=True)
+
+
+def test_trilinear_sampler_matches_octree_interp():
+    """The tiled-view trilinear sampler (`_sample_volume_interp`, the
+    reference's volume.interp used by `refine="interp"`) must match
+    octree.interp on a fully-observed analytic field, and blend the init
+    value for NaN (weight==0) taps."""
+    import numpy as np
+    import jax.numpy as jnp
+    from supereight_tpu.core import octree
+    from supereight_tpu.fields import make_field
+    from supereight_tpu.pipeline.raycast import (_sample_volume_interp,
+                                                 pack_view)
+
+    field = make_field("sdf", mu=0.1)
+    m = octree.init(32, 3.2, field.channels, capacity=128)
+    # allocate everything and write f(x,y,z) = 0.01*(x + 2y + 3z) - 0.5
+    m = octree.allocate_block_mask(
+        m, jnp.ones((m.blocks_per_edge,) * 3, bool))
+
+    def setf(vals, coords):
+        c = coords.astype(jnp.float32)
+        vals["tsdf"] = 0.01 * (c[..., 0] + 2 * c[..., 1]
+                               + 3 * c[..., 2]) - 0.5
+        vals["weight"] = jnp.ones_like(vals["weight"])
+        return vals
+
+    m = octree.axis_aligned_map(m, setf)
+    dense = pack_view(m, field)["F"]
+
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(rng.uniform(1.0, 30.0, (50, 3)), jnp.float32)
+    ref = octree.interp(m, "tsdf", pos)
+    got = _sample_volume_interp(dense, pos, 32, nan_sub=1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-3)  # bf16 view rounding
+
+    # NaN taps (weight==0) blend the init value: zero all weights and
+    # sample -> exactly nan_sub
+
+    def zerow(vals, coords):
+        vals["weight"] = jnp.zeros_like(vals["weight"])
+        return vals
+
+    m2 = octree.axis_aligned_map(m, zerow)
+    dense2 = pack_view(m2, field)["F"]
+    got2 = _sample_volume_interp(dense2, pos[:4], 32, nan_sub=1.0)
+    np.testing.assert_allclose(np.asarray(got2), 1.0, atol=1e-6)
