@@ -59,6 +59,7 @@ def main():
     grad_decim = _intflag("--grad-decim", 1)
     inc_view = "--inc-view" in sys.argv
     bilateral = "--bilateral" in sys.argv
+    full_res_scan = "--full-res-scan" in sys.argv
     frames_npz = sys.argv[sys.argv.index("--frames-npz") + 1] \
         if "--frames-npz" in sys.argv else "synthetic_256_frames.npz"
 
@@ -102,6 +103,7 @@ def main():
                         alloc_stride=alloc_stride,
                         alloc_rate=alloc_rate,
                         raycast_grad_decim=grad_decim,
+                        raycast_full_res_scan=full_res_scan,
                         incremental_view=inc_view,
                         raycast_scan_stride=scan_stride,
                         raycast_midsolve=midsolve,
@@ -123,6 +125,7 @@ def main():
                            integrate_budget=int_budget,
                            alloc_stride=alloc_stride,
                            alloc_rate=alloc_rate, grad_decim=grad_decim,
+                           full_res_scan=full_res_scan,
                            scan_stride=scan_stride, midsolve=midsolve,
                            near_rescue=near_rescue,
                            gather_streams=gather_streams)
@@ -191,6 +194,7 @@ def main():
         "alloc_rate": alloc_rate,
         "grad_decim": grad_decim,
         "incremental_view": inc_view,
+        "full_res_scan": full_res_scan,
         "bilateral": bilateral,
         "sequence": frames_npz.replace(".npz", ""),
         "scan_stride": scan_stride,
@@ -247,6 +251,8 @@ def main():
         mode += f"_gd{grad_decim}"
     if inc_view:
         mode += "_iv"
+    if full_res_scan:
+        mode += "_fr"
     if bilateral:
         mode += "_bf"
     if frames_npz != "synthetic_256_frames.npz":

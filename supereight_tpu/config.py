@@ -66,6 +66,9 @@ class Configuration:
                                            # fusion touched; multiscale
                                            # rebuilds on integration frames
                                            # only (vs every raycast)
+    raycast_full_res_scan: bool = False   # march every pixel in the fine
+                                           # scan (reference-style) instead
+                                           # of half-res + per-pixel refine
     raycast_grad_decim: int = 1            # hybrid-normal lateral gradient
                                            # subsampling beyond half-res
                                            # (2 = quarter-res taps; the

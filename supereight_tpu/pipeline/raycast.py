@@ -456,7 +456,8 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
             midsolve: bool = False,
             near_rescue: bool = True,
             gather_streams: int = 1,
-            grad_decim: int = 1) -> RaycastResult:
+            grad_decim: int = 1,
+            full_res_scan: bool = False) -> RaycastResult:
     """Full raycastKernel (`rendering.cpp:50-90`): vertex + normal maps.
 
     Pipeline: block-splat start depths (phase 1, ~12k scattered elements)
@@ -508,7 +509,13 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     diag = 1.7320508 * BLOCK_SIDE * vs
     # fine scan at half ray resolution when the image is dense enough (the
     # full-res refine below then re-solves per pixel)
-    half_res = (H % 2 == 0) and (W % 2 == 0) and W >= 160
+    # the reference marches EVERY pixel; our default scans at half ray
+    # resolution + a per-pixel full-res re-solve.  ``full_res_scan``
+    # restores per-pixel scanning (4x the scan descriptors; quality probe
+    # for noisy sensors where silhouette pixels inheriting a neighbour's
+    # crossing may matter).
+    half_res = (H % 2 == 0) and (W % 2 == 0) and W >= 160 \
+        and not full_res_scan
     # window: covers the splatted block's extent plus the band; step
     # ``scan_stride`` band thicknesses (default half).  (0.75 * thickness
     # alone — the reference's largestep — was measured at +2 fps but ATE

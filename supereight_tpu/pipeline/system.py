@@ -118,6 +118,7 @@ class DenseSLAMSystem:
                 w2_budget=config.raycast_w2_budget,
                 scan_stride=config.raycast_scan_stride,
                 grad_decim=config.raycast_grad_decim,
+                full_res_scan=config.raycast_full_res_scan,
                 near_rescue=config.raycast_near_rescue,
                 midsolve=config.raycast_midsolve,
                 gather_streams=config.raycast_gather_streams,
@@ -157,6 +158,7 @@ class DenseSLAMSystem:
                 w2_budget=config.raycast_w2_budget,
                 scan_stride=config.raycast_scan_stride,
                 grad_decim=config.raycast_grad_decim,
+                full_res_scan=config.raycast_full_res_scan,
                 near_rescue=config.raycast_near_rescue,
                 midsolve=config.raycast_midsolve,
                 gather_streams=config.raycast_gather_streams)),
@@ -457,6 +459,7 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                      w2_budget: int = 8192,
                      scan_stride: float = 0.5,
                      grad_decim: int = 1,
+                     full_res_scan: bool = False,
                      midsolve: bool = False,
                      near_rescue: bool = True,
                      gather_streams: int = 1) -> FrameState:
@@ -489,7 +492,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                                  scan_stride=scan_stride, midsolve=midsolve,
                                  near_rescue=near_rescue,
                                  gather_streams=gather_streams,
-                                 grad_decim=grad_decim)
+                                 grad_decim=grad_decim,
+                                 full_res_scan=full_res_scan)
             return rc.vertex, rc.normal, pose
 
         def warp_fn(args):
@@ -524,7 +528,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                              scan_stride=scan_stride, midsolve=midsolve,
                              near_rescue=near_rescue,
                              gather_streams=gather_streams,
-                             grad_decim=grad_decim)
+                             grad_decim=grad_decim,
+                             full_res_scan=full_res_scan)
         return rc.vertex, rc.normal, pose
 
     def skip_fn(args):
@@ -551,6 +556,7 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   w2_budget: int = 8192,
                   scan_stride: float = 0.5,
                   grad_decim: int = 1,
+                  full_res_scan: bool = False,
                   midsolve: bool = False,
                   integrate_budget: int = 0,
                   alloc_stride: float = 1.0,
@@ -577,4 +583,5 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                             w2_budget=w2_budget, scan_stride=scan_stride,
                             midsolve=midsolve, near_rescue=near_rescue,
                             gather_streams=gather_streams,
-                            grad_decim=grad_decim)
+                            grad_decim=grad_decim,
+                            full_res_scan=full_res_scan)
