@@ -73,6 +73,8 @@ def main():
     ap.add_argument("--init-pose", default="0.5,0.5,0.27")
     ap.add_argument("--frames-npz", default="synthetic_256_frames.npz",
                     help="sequence under bench_data/ (alt/noisy variants)")
+    ap.add_argument("--extra", default="",
+                    help="extra flags for the reference binary (e.g. -F)")
     args = ap.parse_args()
     if args.field == "ofusion":
         args.binary = args.binary.replace("-sdf-", "-ofusion-")
@@ -87,7 +89,8 @@ def main():
     log = f"/tmp/ref_anchor_{args.field}.tsv"
     cmd = [args.binary, "-i", raw_path, "-s", "4.8", "-p", args.init_pose,
            "-r", "1", "-z", "4", "-c", "1", "-m", str(mu),
-           "-k", "240.6,240,160,120", "-o", log]
+           "-k", "240.6,240,160,120", "-o", log] \
+        + ([a for a in args.extra.split() if a])
     print("#", " ".join(cmd), file=sys.stderr)
     t0 = time.perf_counter()
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
@@ -115,6 +118,8 @@ def main():
     }
     tag = args.frames_npz.replace("synthetic_256_frames", "")\
         .replace(".npz", "")
+    if "-F" in args.extra.split():
+        tag += "_bf"
     out["sequence"] = args.frames_npz.replace(".npz", "")
     path = os.path.join(REPO, f"bench_data/ref_anchor_{args.field}{tag}.json")
     with open(path, "w") as fh:
