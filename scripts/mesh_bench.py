@@ -77,13 +77,12 @@ def main():
           file=sys.stderr)
     m = st.map
 
-    # full-map meshing as ONE device program: every capacity slot in
-    # fixed chunks (dead slots mesh nothing), checksum-reduced
+    # full-map meshing as ONE device program: live slots compacted first,
+    # then a dynamic-trip fori_loop over just their chunks (dead capacity
+    # costs nothing), checksum-reduced
     field = slam.field
     CHUNK = 64
     cap = m.capacity
-    n_chunks = cap // CHUNK
-    slot_table = jnp.arange(cap, dtype=jnp.int32).reshape(n_chunks, CHUNK)
     other = [c.name for c in m.channels if c.name != field.select_channel]
     wname = other[0] if other else field.select_channel
 
@@ -95,8 +94,18 @@ def main():
 
     @jax.jit
     def mesh_all(mm):
+        from supereight_tpu.core import octree as oc
+        live = oc.slot_mask(mm)
+        n_live = jnp.sum(live.astype(jnp.int32))
+        slots_sorted = jnp.nonzero(live, size=cap, fill_value=0)[0]
+        n_chunks = (n_live + CHUNK - 1) // CHUNK
+
         def body(i, acc):
-            tris, valid = chunk_fn(mm, slot_table[i])
+            slots = jax.lax.dynamic_slice(slots_sorted, (i * CHUNK,),
+                                          (CHUNK,))
+            in_range = (i * CHUNK + jnp.arange(CHUNK)) < n_live
+            tris, valid = chunk_fn(mm, slots)
+            valid = valid & in_range[:, None, None]
             s, n = acc
             t = jnp.where(valid[..., None, None], tris, 0.0)
             return s + jnp.sum(t), n + jnp.sum(valid)
@@ -114,7 +123,7 @@ def main():
         acc += float(s0)       # one tiny fetch per rep keeps it honest
     ms = (time.perf_counter() - t0) / REPS * 1e3
     print(f"# mesh_all: {ms:.1f} ms for {n_tris} triangles "
-          f"({n_blocks} live blocks, full {cap}-slot sweep)",
+          f"({n_blocks} live blocks, live-compacted sweep)",
           file=sys.stderr)
 
     # sanity: host-loop marching_cubes agrees on the triangle count
@@ -125,7 +134,7 @@ def main():
         "triangles": n_tris,
         "triangles_host_path": int(tris_host.shape[0]),
         "live_blocks": n_blocks,
-        "capacity_swept": cap,
+        "sweep": "live-compacted",
         "reps": REPS,
     }
     with open(os.path.join(here, "bench_data/mesh_bench.json"), "w") as fh:
