@@ -374,3 +374,26 @@ class TestIncrementalView:
         err = np.linalg.norm(np.asarray(slam.state.pose)[:3, 3]
                              - poses[-1][:3, 3])
         assert err < 0.1
+
+
+def test_full_res_scan_tracks():
+    """raycast_full_res_scan (reference-style per-pixel march) is a
+    different program shape at W>=160; it must track the same scene the
+    half-res default does."""
+    H2, W2 = 120, 160
+    from supereight_tpu.io.synthetic import generate_sequence
+    depths, gt, K2 = generate_sequence(6, H=H2, W=W2, room_dim=3.2)
+    errs = {}
+    for fr in (False, True):
+        cfg = Configuration(volume_resolution=(64,) * 3,
+                            volume_size=(3.2,) * 3,
+                            block_capacity=1024,
+                            raycast_full_res_scan=fr)
+        slam = DenseSLAMSystem((H2, W2), cfg)
+        slam.setPose(gt[0])
+        for i in range(6):
+            slam.step(depths[i], K2, i)
+        errs[fr] = float(np.linalg.norm(
+            np.asarray(slam.state.pose)[:3, 3] - gt[5][:3, 3]))
+        assert bool(slam.state.tracked)
+    assert errs[True] < 0.12 and errs[False] < 0.12
