@@ -77,6 +77,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--int-budget", type=int, default=0,
                    help="fuse at most this many frustum-candidate blocks "
                         "per frame (0 = stream the whole table)")
+    p.add_argument("--live", action="store_true",
+                   help="acquire through the live-camera replay reader "
+                        "(io.live.LiveReplayReader): the sensor paces the "
+                        "stream, slow frames are dropped with the pose "
+                        "held — the OpenNI streaming contract "
+                        "(interface.h:532+) without camera hardware")
     return p.parse_args(argv)
 
 
@@ -90,6 +96,11 @@ def main(argv=None):
     # reader factory (reference createReader): native mmap+prefetch .raw
     # reader when csrc is built, numpy fallback, or an ICL scene directory
     reader = seio.create_reader(args.input_file)
+    live_reader = None
+    if args.live:
+        from supereight_tpu.io.live import LiveReplayReader
+        live_reader = LiveReplayReader(args.input_file,
+                                       fps=args.fps or 30.0)
     vol_size = _triple(args.volume_size, float)
     vol_res = _triple(args.volume_resolution, int)
 
@@ -149,10 +160,27 @@ def main(argv=None):
     t_start = time.perf_counter()
     for frame in range(n):
         t0 = time.perf_counter()
-        depth, _ = reader.read(frame)
+        if live_reader is not None:
+            nxt = live_reader.read_next()
+            if nxt is None:
+                break                        # stream ended (camera stopped)
+            depth = nxt[0]
+            # index-align est_poses/TSV with the SENSOR timeline: frames
+            # the consumer was too slow to see keep the previous pose
+            src = live_reader._last
+            pose_np = np.asarray(slam.state.pose)
+            while len(est_poses) < src:
+                dpos = pose_np[:3, 3]
+                est_poses.append(pose_np)
+                log.write(f"{len(est_poses) - 1}\t0\t0\t0\t0\t0\t0\t"
+                          f"0\t0\t{dpos[0]:.6f}\t{dpos[1]:.6f}\t"
+                          f"{dpos[2]:.6f}\t0\t0\n")
+            frame = src
+        else:
+            depth, _ = reader.read(frame)
         # -f fps pacing: drop frames that arrive late, like the reference's
         # DepthReader::get_next_frame (`interface.h:80-116`)
-        if frame_period > 0:
+        if live_reader is None and frame_period > 0:
             due = t_start + frame * frame_period
             lag = time.perf_counter() - due
             if lag > frame_period:
