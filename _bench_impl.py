@@ -95,18 +95,25 @@ def main():
     # The reference's canonical lr-traj2 command integrates every 4th
     # frame (-z 4, BASELINE.md / reference README.md:77-81).  This config
     # integrates EVERY frame (-z 1) and still beats the -z 4 run on both
-    # axes (75.9 fps @ ATE 1.90 cm vs 57.7 @ 2.54 — bench_data/
-    # ate_icp_256_hybrid_id2_ib3072_ss1_ar2_gd2.json): 4x the canonical
-    # fusion rate at better accuracy.  Headline knobs (ATE-validated in
-    # bench_data/): hybrid normals (lateral gradient at quarter res via
-    # grad_decim 2 + per-pixel along-ray correction), integrate_budget
-    # (frustum-compacted fusion rows), icp_finest_decimate 2 (stride-2
-    # finest ICP level), scan_stride 1.0 (band-thickness fine-scan step;
-    # the full-res refine re-solves per pixel), alloc_rate 2 (band march
-    # every 2nd frame — consecutive frames request near-identical block
-    # sets; fusion still runs every frame).  Neighbouring records: 77.9 @
-    # 2.54 (alloc_rate 3 + gd2), 73.4 @ 2.36 (ar3 alone), 68.7 @ 1.97
-    # (gd2 alone), 40.9 @ 1.73 (full ICP, volume normals).
+    # axes: 4x the canonical fusion rate at better accuracy.  Headline
+    # knobs (ATE-validated in bench_data/): hybrid normals (lateral
+    # gradient at quarter res via grad_decim 2 + per-pixel along-ray
+    # correction), integrate_budget (frustum-compacted fusion rows),
+    # icp_finest_decimate 2 (stride-2 finest ICP level), scan_stride 1.0
+    # (band-thickness fine-scan step; the full-res refine re-solves per
+    # pixel), alloc_rate 3 (band march every 3rd frame), and the
+    # motion-adaptive raycast gate (3.8 deg / 0.07 m): the reference-map
+    # refresh amortizes with accumulated camera MOTION instead of a fixed
+    # schedule, bounding ICP-association staleness where it actually
+    # matters.  Validated on all three sequences
+    # (bench_data/ate_icp_256_hybrid_ad3.8x0.07_id2_ib3072_ss1_ar3_gd2*):
+    # base 90.0 fps @ 1.85 cm, held-out 1.5x-rate orbit 94.2 @ 3.83
+    # (beats both the every-frame-refresh config's 6.15 and the
+    # reference CPU's 6.56), Kinect-noise 76.5 @ 23.4 with 92/96 tracked
+    # (pose jitter auto-triggers refreshes; a FIXED rate-4 schedule loses
+    # half the frames there, 29.7 cm @ 46/96).  Fixed-rate frontier for
+    # comparison: rr4 = 2.35 cm but noisy-fragile, rr6/rr8 = 2.17/1.95 on
+    # base but 26 cm on the held-out orbit.
     cfg = Configuration(volume_resolution=(SIZE,) * 3, volume_size=(4.8,) * 3,
                         pyramid=(10, 5, 4), integration_rate=1,
                         block_capacity=6144,
@@ -114,7 +121,9 @@ def main():
                         integrate_budget=3072,
                         icp_finest_decimate=2,
                         raycast_scan_stride=1.0,
-                        alloc_rate=2,
+                        alloc_rate=3,
+                        raycast_adaptive_deg=3.8,
+                        raycast_adaptive_dist=0.07,
                         raycast_grad_decim=2)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
@@ -125,7 +134,7 @@ def main():
         icp_threshold=cfg.icp_threshold,
         use_gt=False, neg_y=False, normals="hybrid",
         integrate_budget=3072, finest_decimate=2, scan_stride=1.0,
-        alloc_rate=2, grad_decim=2)
+        alloc_rate=3, adaptive_deg=3.8, adaptive_dist=0.07, grad_decim=2)
 
     k_dev = jnp.asarray(k)
     eye = jnp.eye(4, dtype=jnp.float32)

@@ -65,6 +65,10 @@ def main():
 
     alloc_stride = float(sys.argv[sys.argv.index("--alloc-stride") + 1]) \
         if "--alloc-stride" in sys.argv else 1.0
+    adaptive_deg = float(sys.argv[sys.argv.index("--adaptive") + 1]) \
+        if "--adaptive" in sys.argv else 0.0
+    adaptive_dist = float(sys.argv[sys.argv.index("--adaptive-dist") + 1]) \
+        if "--adaptive-dist" in sys.argv else 0.12
     scan_stride = float(sys.argv[sys.argv.index("--scan-stride") + 1]) \
         if "--scan-stride" in sys.argv else 0.5
     midsolve = "--midsolve" in sys.argv
@@ -96,6 +100,8 @@ def main():
                         raycast_refine=refine,
                         raycast_rate=rc_rate,
                         raycast_warp=warp,
+                        raycast_adaptive_deg=adaptive_deg,
+                        raycast_adaptive_dist=adaptive_dist,
                         icp_lazy_assoc=lazy_assoc,
                         icp_finest_decimate=icp_decim,
                         raycast_w2_budget=w2b,
@@ -120,7 +126,9 @@ def main():
                            use_gt=use_gt, neg_y=False, normals=normals,
                            second_window=second_window, span_factor=span,
                            refine=refine, raycast_rate=rc_rate,
-                           warp=warp, lazy_assoc=lazy_assoc,
+                           warp=warp, adaptive_deg=adaptive_deg,
+                           adaptive_dist=adaptive_dist,
+                           lazy_assoc=lazy_assoc,
                            finest_decimate=icp_decim, w2_budget=w2b,
                            integrate_budget=int_budget,
                            alloc_stride=alloc_stride,
@@ -187,6 +195,8 @@ def main():
         "integration_rate": int_rate,
         "raycast_rate": rc_rate,
         "raycast_warp": warp,
+        "adaptive_deg": adaptive_deg,
+        "adaptive_dist": adaptive_dist,
         "icp_finest_decimate": icp_decim,
         "w2_budget": w2b,
         "integrate_budget": int_budget,
@@ -233,6 +243,10 @@ def main():
         mode += f"_rr{rc_rate}"
         if warp:
             mode += "w"
+    if adaptive_deg > 0:
+        mode += f"_ad{adaptive_deg:g}"
+        if adaptive_dist != 0.12:
+            mode += f"x{adaptive_dist:g}"
     if icp_decim != 1:
         mode += f"_id{icp_decim}"
     if w2b != 8192:

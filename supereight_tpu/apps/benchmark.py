@@ -64,6 +64,14 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--warp", action="store_true",
                    help="with --raycast-rate>1: forward-warp the maps to "
                         "the current pose on skipped frames")
+    p.add_argument("--adaptive-raycast", type=float, default=0.0,
+                   metavar="DEG",
+                   help="motion-adaptive model refresh: raycast once the "
+                        "pose has rotated DEG degrees (or moved "
+                        "--adaptive-dist metres) since the last refresh, "
+                        "instead of a fixed --raycast-rate schedule")
+    p.add_argument("--adaptive-dist", type=float, default=0.12,
+                   help="translation trigger (m) for --adaptive-raycast")
     p.add_argument("--normals", default="volume",
                    choices=("volume", "stored", "hybrid", "image",
                             "forward3"))
@@ -127,6 +135,8 @@ def main(argv=None):
         field_type=args.field,
         raycast_rate=args.raycast_rate,
         raycast_warp=args.warp,
+        raycast_adaptive_deg=args.adaptive_raycast,
+        raycast_adaptive_dist=args.adaptive_dist,
         raycast_normals=args.normals,
         icp_finest_decimate=args.icp_decim,
         raycast_scan_stride=args.scan_stride,

@@ -102,6 +102,29 @@ class Configuration:
                                            # reference behavior: every
                                            # frame); ICP tracks against the
                                            # last refresh via raycast_pose
+    raycast_adaptive_deg: float = 0.0      # >0: motion-adaptive model
+                                           # refresh — raycast only once the
+                                           # pose has rotated this many
+                                           # degrees (or translated
+                                           # raycast_adaptive_dist metres)
+                                           # since the last refresh
+                                           # (raycast_pose).  Replaces the
+                                           # fixed raycast_rate schedule
+                                           # with a staleness bound in
+                                           # MOTION space: slow segments
+                                           # amortize the raycast like a
+                                           # high raycast_rate, fast ones
+                                           # refresh every frame.  The
+                                           # validated envelope on the 96-
+                                           # frame orbits (bench_data): ~5°
+                                           # of accumulated rotation holds
+                                           # ATE on both the base and the
+                                           # 1.5x-rate held-out sequence;
+                                           # fixed rates that exceed it on
+                                           # the fast orbit (rr5/rr6)
+                                           # measured 11.7/26.2 cm there
+    raycast_adaptive_dist: float = 0.12    # translation trigger (m) paired
+                                           # with raycast_adaptive_deg
     raycast_warp: bool = False             # with raycast_rate > 1: forward-
                                            # warp (z-buffer splat) the last
                                            # pristine raycast to the current

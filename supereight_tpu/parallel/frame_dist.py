@@ -38,7 +38,9 @@ masked updates instead of ``lax.cond``: predicates are replicated, and
 keeping the collectives unconditional at the top level makes the
 schedule identical on every device by construction.
 
-Not supported here (single-device-only knobs): ``raycast_warp`` (a
+Not supported here (single-device-only knobs): ``raycast_adaptive_deg``
+(the sharded raycast is masked, not ``lax.cond``-gated, so skipping a
+refresh saves nothing under ``shard_map``), and ``raycast_warp`` (a
 measured ATE negative, off by default), stored-normal gradient tables
 (shardable later — the table is [capacity,...]), and ``lazy_assoc``.
 

@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from supereight_tpu.config import Configuration
@@ -121,6 +122,8 @@ class DenseSLAMSystem:
                 full_res_scan=config.raycast_full_res_scan,
                 near_rescue=config.raycast_near_rescue,
                 midsolve=config.raycast_midsolve,
+                adaptive_deg=config.raycast_adaptive_deg,
+                adaptive_dist=config.raycast_adaptive_dist,
                 gather_streams=config.raycast_gather_streams,
                 integrate_budget=config.integrate_budget,
                 alloc_stride=config.alloc_stride,
@@ -161,6 +164,8 @@ class DenseSLAMSystem:
                 full_res_scan=config.raycast_full_res_scan,
                 near_rescue=config.raycast_near_rescue,
                 midsolve=config.raycast_midsolve,
+                adaptive_deg=config.raycast_adaptive_deg,
+                adaptive_dist=config.raycast_adaptive_dist,
                 gather_streams=config.raycast_gather_streams)),
         }
 
@@ -462,6 +467,8 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                      full_res_scan: bool = False,
                      midsolve: bool = False,
                      near_rescue: bool = True,
+                     adaptive_deg: float = 0.0,
+                     adaptive_dist: float = 0.12,
                      gather_streams: int = 1) -> FrameState:
     """raycasting() (`DenseSLAMSystem.cpp:191-204`): refresh the reference
     model maps from the current pose (only after the bootstrap frames).
@@ -473,10 +480,24 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
     skipped frames forward-warp the last pristine raycast to the current
     pose (``raycast.warp_maps``) instead of leaving the maps stale, so
     the ICP association keeps current-viewpoint coverage at a fraction
-    of the raycast cost."""
+    of the raycast cost.
+
+    ``adaptive_deg`` > 0 replaces the fixed schedule with a motion gate:
+    refresh once the pose has rotated ``adaptive_deg`` degrees or moved
+    ``adaptive_dist`` metres since ``raycast_pose`` (the state already
+    carries it — no extra state).  The staleness bound lives in motion
+    space instead of frame count, so the amortization adapts to the
+    trajectory; the skipped raycast costs nothing (`lax.cond`)."""
     H, W = state.float_depth.shape
     do_raycast = frame > 2
-    if raycast_rate > 1:
+    if adaptive_deg > 0.0:
+        dR = state.pose[:3, :3] @ state.raycast_pose[:3, :3].T
+        cos_ang = 0.5 * (jnp.trace(dR) - 1.0)
+        dist = jnp.linalg.norm(state.pose[:3, 3] - state.raycast_pose[:3, 3])
+        moved = (cos_ang < float(np.cos(np.radians(adaptive_deg)))) | \
+            (dist > adaptive_dist)
+        do_raycast &= moved | (frame <= 5)
+    elif raycast_rate > 1:
         do_raycast &= ((frame % raycast_rate) == 0) | (frame <= 5)
 
     if warp and raycast_rate > 1:
@@ -562,6 +583,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   alloc_stride: float = 1.0,
                   alloc_rate: int = 1,
                   near_rescue: bool = True,
+                  adaptive_deg: float = 0.0,
+                  adaptive_dist: float = 0.12,
                   gather_streams: int = 1) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
@@ -582,6 +605,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                             raycast_rate=raycast_rate, warp=warp,
                             w2_budget=w2_budget, scan_stride=scan_stride,
                             midsolve=midsolve, near_rescue=near_rescue,
+                            adaptive_deg=adaptive_deg,
+                            adaptive_dist=adaptive_dist,
                             gather_streams=gather_streams,
                             grad_decim=grad_decim,
                             full_res_scan=full_res_scan)

@@ -105,6 +105,39 @@ class TestSDFPipeline:
         assert not np.allclose(np.asarray(st7.raycast_pose),
                                np.asarray(st7.pose))
 
+    def test_adaptive_raycast_tracks_and_gates(self, run):
+        """raycast_adaptive_deg: the reference maps refresh on a MOTION
+        threshold vs raycast_pose instead of a fixed schedule.  On the
+        orbit the gate must (a) keep tracking within the same error gate,
+        (b) actually skip refreshes while accumulated motion is below the
+        threshold (raycast_pose lags pose on some frame), and (c) refresh
+        once motion exceeds it (raycast_pose never lags by more than the
+        threshold-equivalent motion)."""
+        slam, states, poses, depths = run
+        cfg = Configuration(volume_resolution=(128,) * 3,
+                            volume_size=(DIM,) * 3, pyramid=(4, 3, 2),
+                            block_capacity=4096, integration_rate=1,
+                            raycast_adaptive_deg=5.0,
+                            raycast_adaptive_dist=0.12)
+        s2 = DenseSLAMSystem((H, W), cfg)
+        s2.setPose(poses[0])
+        lags, sts = [], []
+        for i in range(8):
+            st = s2.step(depths[i], K4, i)
+            lags.append(float(np.linalg.norm(
+                np.asarray(st.pose)[:3, 3]
+                - np.asarray(st.raycast_pose)[:3, 3])))
+            sts.append(st)
+        assert bool(st.tracked)
+        err = np.linalg.norm(np.asarray(st.pose)[:3, 3] - poses[-1][:3, 3])
+        assert err < 0.1
+        # (b) the gate skipped at least one refresh after bootstrap
+        assert max(lags[6:]) > 1e-6
+        # (c) staleness stays bounded by the translation trigger once the
+        # gate is live (frames 0-2 never raycast, so the lag vs the INITIAL
+        # raycast_pose is unbounded there — reference bootstrap semantics)
+        assert max(lags[3:]) <= 0.12 + 1e-6
+
     def test_raycast_rate_2_warp_tracks(self, run):
         """raycast_rate=2 + raycast_warp: skipped frames forward-warp the
         pristine maps to the current pose, so raycast_pose matches pose on
