@@ -31,6 +31,11 @@ def knobs(rec: dict) -> str:
     if rec.get("raycast_rate", 1) != 1:
         parts.append(f"rr{rec['raycast_rate']}"
                      + ("w" if rec.get("raycast_warp") else ""))
+    if rec.get("adaptive_deg", 0.0) > 0:
+        tag = f"ad{rec['adaptive_deg']:g}"
+        if rec.get("adaptive_dist", 0.12) != 0.12:
+            tag += f"x{rec['adaptive_dist']:g}"
+        parts.append(tag)
     if rec.get("w2_budget", 8192) != 8192:
         parts.append(f"w2b{rec['w2_budget']}")
     if rec.get("alloc_stride", 1.0) != 1.0:
@@ -55,6 +60,11 @@ def knobs(rec: dict) -> str:
         parts.append("nf2")
     if rec.get("mode") == "gt":
         parts.append("gt")
+    if rec.get("bilateral"):
+        parts.append("bf")
+    seq = rec.get("sequence", "synthetic_256_frames")
+    if seq != "synthetic_256_frames":
+        parts.append("[" + seq.replace("synthetic_256_frames_", "") + "]")
     return " ".join(parts)
 
 
