@@ -33,16 +33,25 @@ tests/test_sharding.py):
   reference maps all_gather back to every device (tracking associates
   across the whole image, so they must be replicated — ~2 MB at 320x240).
 
-Stage gating (integration_rate / tracked / bootstrap / raycast_rate) uses
-masked updates instead of ``lax.cond``: predicates are replicated, and
-keeping the collectives unconditional at the top level makes the
-schedule identical on every device by construction.
+Stage gating (integration_rate / tracked / bootstrap) uses masked
+updates instead of ``lax.cond``: predicates are replicated, and keeping
+the collectives unconditional at the top level makes the schedule
+identical on every device by construction.  The ONE exception is the
+raycast stage: its predicate (bootstrap OR the motion-adaptive gate,
+``adaptive_deg``/``adaptive_dist`` — the single-chip headline knob) is a
+pure function of replicated state, so every device takes the same
+``lax.cond`` branch and the brick-exchange ``all_gather`` inside the
+taken branch stays schedule-identical across the mesh; a skipped refresh
+then costs nothing, exactly as on one chip.  The gate also amortizes the
+dense view build (the sharded analog of single-chip
+``incremental_view``: the exchange rebuilds the view only on refresh
+frames), and per-device owner-local fusion over ``capacity/n_devices``
+rows plays the role of ``integrate_budget`` compaction.
 
-Not supported here (single-device-only knobs): ``raycast_adaptive_deg``
-(the sharded raycast is masked, not ``lax.cond``-gated, so skipping a
-refresh saves nothing under ``shard_map``), and ``raycast_warp`` (a
-measured ATE negative, off by default), stored-normal gradient tables
-(shardable later — the table is [capacity,...]), and ``lazy_assoc``.
+Not supported here (measured-negative or redundant single-chip knobs):
+``raycast_warp`` (ATE negative, off by default), stored-normal gradient
+tables (hybrid normals — the headline config — are supported), and
+``lazy_assoc``.
 
 Reference: SURVEY.md §2.4 (the north-star scale-out design); the
 single-process reference has no counterpart (`DenseSLAMSystem.cpp`).
@@ -107,8 +116,9 @@ def make_process_frame_sharded(
         scan_stride: float = 0.5, midsolve: bool = False,
         alloc_stride: float = 1.0, alloc_rate: int = 1,
         grad_decim: int = 1, near_rescue: bool = True,
+        adaptive_deg: float = 0.0, adaptive_dist: float = 0.12,
         max_visible_per_device: int = 1024,
-        axis: str = MAP_AXIS):
+        axis: str = MAP_AXIS, _skip: frozenset = frozenset()):
     """Build ``step(state, depth_mm, k, frame, gt_pose, *, use_gt, neg_y)``
     — the fused sharded frame.  ``state`` must be placed by
     :func:`frame_sharding`; jit the returned function.
@@ -163,12 +173,15 @@ def make_process_frame_sharded(
             slot0 = dev * cap_d
 
             # ---- preprocessing: replicated dense math ----
-            st = preprocessing_stage(st, depth_mm, bilateral=bilateral)
+            if "preprocess" not in _skip:
+                st = preprocessing_stage(st, depth_mm, bilateral=bilateral)
 
             # ---- tracking: strip residuals + psum normal equations ----
             depths, vertices, norms_pyr = preprocessing.build_pyramid(
                 st.scaled_depth, k, len(iterations), neg_y=neg_y)
-            if use_gt:
+            if "track" in _skip:
+                st = st.replace(tracked=jnp.ones((), bool))
+            elif use_gt:
                 st = st.replace(pose=gt_pose, tracked=jnp.ones((), bool))
             else:
                 do_track = (frame % tracking_rate) == 0
@@ -204,7 +217,9 @@ def make_process_frame_sharded(
                 alloc_gate = gate & (((frame % alloc_rate) == 0)
                                      | (frame <= 5))
 
-            if field.multiscale_alloc:
+            if "alloc" in _skip:
+                m1 = m0
+            elif field.multiscale_alloc:
                 masks = integration.ofusion_wanted_masks(
                     m0, st.float_depth, st.pose, K, band,
                     row_share=(dev, n_dev))
@@ -223,56 +238,86 @@ def make_process_frame_sharded(
                 m1 = octree.allocate_block_mask(m0, wanted & alloc_gate)
 
             # owner-local fusion over this device's slot range
-            bc_full = octree.block_coords_table(m1)
-            live_full = octree.slot_mask(m1) & m1.active
-            bc_loc = jax.lax.dynamic_slice_in_dim(bc_full, slot0, cap_d, 0)
-            live_loc = jax.lax.dynamic_slice_in_dim(live_full, slot0,
-                                                    cap_d, 0)
-            rows, visible_loc = integration.fuse_rows(
-                field, bc_loc, live_loc & gate, vox_local, st.float_depth,
-                T_cw, K, timestamp, vs)
-            vox_local = {name: jnp.where(gate, rows[name],
-                                         vox_local[name])
-                         for name in vox_local}
-            # ONE tiny bool all_gather refreshes the replicated active
-            # flags (the visibility refresh, `projective_functor.hpp:96`)
-            visible = jax.lax.all_gather(visible_loc, axis, tiled=True)
-            active = jnp.where(gate & live_full, visible, m1.active)
-            m1 = m1.replace(active=active)
-            # coarse node updates: replicated metadata, identical result
-            m2 = integration._update_nodes(m1, field, st.float_depth,
-                                           T_cw, K, timestamp)
-            m1 = jax.tree.map(lambda a, b: jnp.where(gate, b, a), m1, m2)
+            if "fuse" not in _skip:
+                bc_full = octree.block_coords_table(m1)
+                live_full = octree.slot_mask(m1) & m1.active
+                bc_loc = jax.lax.dynamic_slice_in_dim(bc_full, slot0,
+                                                      cap_d, 0)
+                live_loc = jax.lax.dynamic_slice_in_dim(live_full, slot0,
+                                                        cap_d, 0)
+                rows, visible_loc = integration.fuse_rows(
+                    field, bc_loc, live_loc & gate, vox_local,
+                    st.float_depth, T_cw, K, timestamp, vs)
+                vox_local = {name: jnp.where(gate, rows[name],
+                                             vox_local[name])
+                             for name in vox_local}
+                # ONE tiny bool all_gather refreshes the replicated active
+                # flags (the visibility refresh, `projective_functor.hpp:96`)
+                visible = jax.lax.all_gather(visible_loc, axis, tiled=True)
+                active = jnp.where(gate & live_full, visible, m1.active)
+                m1 = m1.replace(active=active)
+            if "nodes" not in _skip:
+                # coarse node updates: replicated metadata, identical result
+                m2 = integration._update_nodes(m1, field, st.float_depth,
+                                               T_cw, K, timestamp)
+                m1 = jax.tree.map(lambda a, b: jnp.where(gate, b, a), m1, m2)
             st = st.replace(map=m1, integrated=do_integrate)
 
             # ---- raycast: frustum-limited brick exchange + strip scan ----
+            if "raycast" in _skip:
+                return st.replace(map=st.map.replace(voxels=vox_local))
             do_raycast = frame > 2
+            if adaptive_deg > 0.0:
+                # motion-adaptive refresh gate (raycasting_stage parity):
+                # replicated predicate -> every device takes the same
+                # branch, so the collectives inside stay schedule-safe
+                import numpy as _np
+                dR = st.pose[:3, :3] @ st.raycast_pose[:3, :3].T
+                cos_ang = 0.5 * (jnp.trace(dR) - 1.0)
+                dist = jnp.linalg.norm(st.pose[:3, 3]
+                                       - st.raycast_pose[:3, 3])
+                moved = (cos_ang < float(_np.cos(_np.radians(adaptive_deg)))
+                         ) | (dist > adaptive_dist)
+                do_raycast &= moved | (frame <= 5)
             view = st.pose @ camera.inverse_camera_matrix(k)
-            dense, inside_any, n_drop = exchange_view(
-                vox_local, m1, field, view, H, W, NEAR_PLANE, far_ext,
-                axis=axis, budget=M)
-            rc = raycast.raycast(
-                _stub(m1), field, view, H, W, NEAR_PLANE, FAR_PLANE,
-                dense=dense, inside_any=inside_any,
-                row_range=(dev * rows_d, rows_d), normals=normals,
-                second_window=second_window, span_factor=span_factor,
-                refine=refine, w2_budget=w2_budget,
-                scan_stride=scan_stride, midsolve=midsolve,
-                near_rescue=near_rescue, grad_decim=grad_decim)
-            # reassemble full reference maps on every device (tracking
-            # associates across the whole image next frame)
-            ref_v = jax.lax.all_gather(rc.vertex, axis, tiled=True)
-            ref_n = jax.lax.all_gather(rc.normal, axis, tiled=True)
+
+            def raycast_branch(_):
+                if "exchange" in _skip:
+                    B = m1.blocks_per_edge
+                    dense = {"F": jnp.full((B * B * B, 512), jnp.nan,
+                                           jnp.float32)}
+                    inside_any = jnp.zeros((cap,), bool)
+                    n_drop = jnp.zeros((), jnp.int32)
+                else:
+                    dense, inside_any, n_drop = exchange_view(
+                        vox_local, m1, field, view, H, W, NEAR_PLANE,
+                        far_ext, axis=axis, budget=M)
+                rc = raycast.raycast(
+                    _stub(m1), field, view, H, W, NEAR_PLANE, FAR_PLANE,
+                    dense=dense, inside_any=inside_any,
+                    row_range=(dev * rows_d, rows_d), normals=normals,
+                    second_window=second_window, span_factor=span_factor,
+                    refine=refine, w2_budget=w2_budget,
+                    scan_stride=scan_stride, midsolve=midsolve,
+                    near_rescue=near_rescue, grad_decim=grad_decim)
+                # reassemble full reference maps on every device (tracking
+                # associates across the whole image next frame)
+                ref_v = jax.lax.all_gather(rc.vertex, axis, tiled=True)
+                ref_n = jax.lax.all_gather(rc.normal, axis, tiled=True)
+                return ref_v, ref_n, st.pose, n_drop
+
+            def skip_branch(_):
+                return (st.ref_vertex, st.ref_normal, st.raycast_pose,
+                        jnp.zeros((), jnp.int32))
+
+            ref_v, ref_n, rc_pose, n_drop = jax.lax.cond(
+                do_raycast, raycast_branch, skip_branch, None)
             st = st.replace(
-                ref_vertex=jnp.where(do_raycast, ref_v, st.ref_vertex),
-                ref_normal=jnp.where(do_raycast, ref_n, st.ref_normal),
-                raycast_pose=jnp.where(do_raycast, st.pose,
-                                       st.raycast_pose),
+                ref_vertex=ref_v, ref_normal=ref_n, raycast_pose=rc_pose,
                 # frustum-overflow diagnostic (no silent caps): visible
                 # blocks past the exchange budget would leave raycast
                 # holes — count them like the allocator's overflow
-                map=st.map.replace(overflow=st.map.overflow + jnp.where(
-                    do_raycast, n_drop, 0)))
+                map=st.map.replace(overflow=st.map.overflow + n_drop))
 
             return st.replace(map=st.map.replace(voxels=vox_local))
 

@@ -379,6 +379,55 @@ class TestUnifiedShardedFrame:
         np.testing.assert_allclose(np.asarray(single.pose),
                                    np.asarray(sharded.pose), atol=1e-4)
 
+    def test_headline_knobs_frame_matches_single(self, frames):
+        """The single-chip headline knob set — hybrid normals, grad_decim,
+        alloc_rate AND the motion-adaptive raycast gate (a lax.cond whose
+        replicated predicate keeps the exchange all_gather schedule-safe)
+        — must reproduce process_frame with the same knobs (VERDICT r3
+        item 1: sharded == headline semantics)."""
+        from supereight_tpu.parallel import frame_dist
+
+        # enough frames that the gate actually skips refreshes (the orbit
+        # sweep is slow, so most post-bootstrap frames sit under 3.8 deg)
+        poses8 = orbit_poses(10, 4.8, sweep=0.03)
+        depths = [np.clip(np.asarray(render_depth(
+            jnp.asarray(p), jnp.asarray(K4), 4.8, H, W)) * 1000,
+            0, 65535).astype(np.uint16) for p in poses8]
+        knobs = dict(alloc_rate=2, grad_decim=2, normals="hybrid",
+                     adaptive_deg=3.8, adaptive_dist=0.07)
+        slam, _ = build(partitions=8)
+        fn = functools.partial(
+            process_frame, field=slam.field, iterations=slam.iterations,
+            tracking_rate=1, integration_rate=1, bilateral=False,
+            icp_threshold=1e-5, use_gt=False, neg_y=False, **knobs)
+        single = run_frames(slam.state, fn, depths)
+
+        slam2, _ = build(partitions=8)
+        mesh = make_mesh(8)
+        st = frame_dist.frame_sharding(mesh)(slam2.state)
+        step = frame_dist.make_process_frame_sharded(
+            mesh, slam2.field, H, W, iterations=slam2.iterations,
+            max_visible_per_device=256, **knobs)
+        jstep = jax.jit(functools.partial(step, use_gt=False, neg_y=False))
+        for i, d in enumerate(depths):
+            st = jstep(st, jnp.asarray(d), jnp.asarray(K4),
+                       jnp.asarray(i, jnp.int32),
+                       jnp.eye(4, dtype=jnp.float32))
+        sharded = jax.device_get(st)
+
+        assert int(single.map.n_blocks) == int(sharded.map.n_blocks)
+        np.testing.assert_allclose(np.asarray(single.pose),
+                                   np.asarray(sharded.pose), atol=1e-4)
+        # the gate fired identically: raycast_pose is the stale pose of
+        # the last refresh, not the current pose
+        np.testing.assert_allclose(np.asarray(single.raycast_pose),
+                                   np.asarray(sharded.raycast_pose),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(single.ref_vertex),
+                                   np.asarray(sharded.ref_vertex),
+                                   atol=1e-3)
+        assert int(sharded.map.overflow) == 0
+
     def test_ofusion_frame_matches_single(self, frames):
         depths, _ = frames
         cfg = Configuration(volume_resolution=(64,) * 3,
