@@ -1,11 +1,18 @@
 """Render every ATE record in bench_data/ as one sorted table.
 
-Usage: python scripts/records_table.py [--csv]
+Usage: python scripts/records_table.py [--csv | --check]
 
 Reads the ate_icp*.json records written by scripts/ate_bench.py and
 prints config | fps | ATE | blocks rows sorted by (size, field, -fps),
 so the Pareto front is visible at a glance and the STATUS.md table can
 be regenerated instead of hand-maintained.
+
+``--check`` verifies STATUS.md against the captures (VERDICT r3 item 8:
+docs must quote the measured records verbatim).  STATUS.md embeds a
+``STATUS-CLAIMS`` JSON block listing every headline number with its
+source file + key; the check fails if a claim diverges from its source
+JSON or if the quoted text is missing from the STATUS prose.  Run by
+tests/test_tools.py so `make test` catches doc/capture drift.
 """
 
 from __future__ import annotations
@@ -68,8 +75,55 @@ def knobs(rec: dict) -> str:
     return " ".join(parts)
 
 
+def check_status_claims(root: str) -> int:
+    """Verify every STATUS-CLAIMS entry against its source JSON and the
+    STATUS.md prose.  Returns the number of failures (0 = consistent)."""
+    import re
+    status_path = os.path.join(root, "STATUS.md")
+    with open(status_path) as fh:
+        status = fh.read()
+    m = re.search(r"<!--\s*STATUS-CLAIMS\s*(\[.*?\])\s*-->", status,
+                  re.DOTALL)
+    if not m:
+        print("FAIL: no STATUS-CLAIMS block in STATUS.md")
+        return 1
+    claims = json.loads(m.group(1))
+    # the claims block must not satisfy its own prose check
+    status = status.replace(m.group(0), "")
+    failures = 0
+    for c in claims:
+        path = os.path.join(root, c["file"])
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except OSError as e:
+            print(f"FAIL: {c['file']}: {e}")
+            failures += 1
+            continue
+        actual = rec
+        for part in c["key"].split("."):
+            actual = actual[part]
+        actual = float(actual) * c.get("scale", 1.0)
+        tol = c.get("tol", max(abs(c["value"]) * 0.005, 1e-9))
+        if abs(actual - c["value"]) > tol:
+            print(f"FAIL: {c['file']}:{c['key']} = {actual:g}, STATUS "
+                  f"claims {c['value']:g} (tol {tol:g})")
+            failures += 1
+        text = c.get("text", f"{c['value']:g}")
+        if text not in status:
+            print(f"FAIL: claimed text {text!r} ({c['file']}:{c['key']}) "
+                  f"not quoted anywhere in STATUS.md")
+            failures += 1
+    if not failures:
+        print(f"STATUS-CLAIMS ok: {len(claims)} claims match their "
+              f"capture files")
+    return failures
+
+
 def main():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if "--check" in sys.argv:
+        sys.exit(1 if check_status_claims(here) else 0)
     rows = []
     for path in sorted(glob.glob(os.path.join(here, "bench_data/ate_*.json"))):
         with open(path) as fh:

@@ -98,3 +98,14 @@ def test_viewer_html_scrubber(tmp_path):
     assert "frame_00002.png" in html
     assert "trajectory.png" in html
     assert "setInterval" in html          # play/pause scrubbing
+
+
+def test_status_claims_match_captures():
+    """VERDICT r3 item 8: STATUS.md headline numbers must quote the
+    newest bench_data/driver captures verbatim — the STATUS-CLAIMS block
+    pins each number to its source JSON."""
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    from records_table import check_status_claims
+    assert check_status_claims(root) == 0
