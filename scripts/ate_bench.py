@@ -89,11 +89,13 @@ def main():
     k = np.asarray([240.6, 240.0, 160.0, 120.0], np.float32)
     H, W, SIZE, NF = 240, 320, size, nf
 
+    mu = float(sys.argv[sys.argv.index("--mu") + 1]) if "--mu" in sys.argv \
+        else (0.1 if field_name == "sdf" else 0.05)
     cfg = Configuration(volume_resolution=(SIZE,) * 3,
                         volume_size=(4.8,) * 3, pyramid=(10, 5, 4),
                         integration_rate=int_rate,
                         block_capacity=capacity,
-                        mu=0.1 if field_name == "sdf" else 0.05,
+                        mu=mu,
                         raycast_normals=normals,
                         raycast_second_window=second_window,
                         raycast_span_factor=span,
@@ -186,6 +188,7 @@ def main():
         "size": SIZE,
         "capacity": capacity,
         "field": field_name,
+        "mu": mu,
         "mode": "gt" if use_gt else "icp",
         "normals": normals,
         "lazy_assoc": lazy_assoc,
@@ -226,6 +229,13 @@ def main():
         rec["tracked"] = [int(t) for t in tracked_flags]
         rec["est_xyz"] = [[round(float(v), 4) for v in p]
                           for p in est[:, :3, 3]]
+    if "--save-map" in sys.argv:
+        # end-of-run map in the reference's Octree::save binary format —
+        # input to the fusion differential oracle (scripts/fuse_oracle.py)
+        from supereight_tpu.io import serialise
+        out_bin = sys.argv[sys.argv.index("--save-map") + 1]
+        serialise.save_se(out_bin, jax.device_get(st.map))
+        print(f"# map saved: {out_bin}", file=sys.stderr)
     print(json.dumps(rec))
     suffix = "" if field_name == "sdf" else "_ofusion"
     mode = "" if not use_gt else "_gt"
@@ -281,6 +291,8 @@ def main():
         mode += "_nr"
     if int_rate != 1:
         mode += f"_z{int_rate}"
+    if "--mu" in sys.argv:
+        mode += f"_mu{mu:g}"
     path = os.path.join(here,
                         f"bench_data/ate_icp{suffix}_{SIZE}{mode}.json")
     with open(path, "w") as fh:

@@ -65,6 +65,8 @@ def knobs(rec: dict) -> str:
         parts.append(rec["refine"])
     if not rec.get("second_window", True):
         parts.append("nf2")
+    if rec.get("mu") not in (None, 0.1, 0.05):
+        parts.append(f"mu{rec['mu']:g}")
     if rec.get("mode") == "gt":
         parts.append("gt")
     if rec.get("bilateral"):

@@ -79,7 +79,11 @@ class OFusionField:
         norm = jnp.sqrt(1.0 + (pos_cam[..., 0] / zsafe) ** 2
                         + (pos_cam[..., 1] / zsafe) ** 2)
         diff = (z - depth_sample) * norm
-        sigma = jnp.clip(self.mu * z * z, 2.0 * self.voxel_size, 0.05)
+        # reference clamp is max(lo, min(v, hi)) (`math_utils.h:101-103`):
+        # when 2*voxel_size > 0.05 (coarse maps) the LOWER bound wins,
+        # unlike jnp.clip — mirror it exactly
+        sigma = jnp.maximum(2.0 * self.voxel_size,
+                            jnp.minimum(self.mu * z * z, 0.05))
         sample = h_occupancy(diff / sigma)
         do = valid & (depth_sample > 0) & (sample != 0.5)
         sample = jnp.clip(sample, 0.03, 0.97)

@@ -4,6 +4,7 @@ import os
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from supereight_tpu.io import groundtruth, raw, serialise, synthetic, vtk
 from supereight_tpu.core import octree
@@ -79,6 +80,102 @@ class TestSerialise:
         assert float(octree.get(m2, "v", 1, 2, 3)) == 7.5
         np.testing.assert_array_equal(np.asarray(m.block_index),
                                       np.asarray(m2.block_index))
+
+
+class TestSeBinary:
+    """Reference `Octree::save` binary format (VERDICT r3 item 2):
+    save_se/load_se round-trips, and — when the csrc oracle binaries are
+    built — agreement with the reference's own writer."""
+
+    def _fused_map(self, field_name):
+        # size 128, NOT 64: the reference's own Octree::load segfaults on
+        # <=64^3 maps (insert() only reserves block_buffer_ when blocks
+        # live at depth > 3, octree.hpp:485-491 — an upstream bug), so the
+        # parser round-trip test must use a size where blocks sit deeper.
+        from supereight_tpu.config import Configuration
+        from supereight_tpu.pipeline import DenseSLAMSystem
+        from supereight_tpu.io.synthetic import orbit_poses, render_depth
+        H, W = 48, 64
+        k = np.asarray([48.0 * W / 160, 48.0 * H / 120, W / 2, H / 2],
+                       np.float32)
+        cfg = Configuration(volume_resolution=(128,) * 3,
+                            volume_size=(4.8,) * 3, pyramid=(3, 2, 2),
+                            block_capacity=1024, integration_rate=1,
+                            field_type=field_name)
+        slam = DenseSLAMSystem((H, W), cfg)
+        for i, p in enumerate(orbit_poses(3, 4.8, sweep=0.02)):
+            d = np.clip(np.asarray(render_depth(
+                jnp.asarray(p), jnp.asarray(k), 4.8, H, W)) * 1000,
+                0, 65535).astype(np.uint16)
+            slam.step(jnp.asarray(d), k, i, gt_pose=p)
+        import jax
+        return jax.device_get(slam.state.map), slam.field
+
+    @pytest.mark.parametrize("field_name", ["sdf", "ofusion"])
+    def test_se_roundtrip(self, tmp_path, field_name):
+        m, field = self._fused_map(field_name)
+        path = str(tmp_path / "map.bin")
+        serialise.save_se(path, m)
+        m2 = serialise.load_se(path, field.channels, capacity=m.capacity)
+        assert m2.size == m.size and abs(m2.dim - m.dim) < 1e-6
+        assert int(m2.n_blocks) == int(m.n_blocks)
+        # per-voxel equality through the slot permutation: compare via
+        # the dense block_index mapping
+        live = np.asarray(octree.slot_mask(m))
+        bc = np.asarray(octree.block_coords_table(m))[live]
+        bi2 = np.asarray(m2.block_index)
+        slot2 = bi2[bc[:, 0], bc[:, 1], bc[:, 2]]
+        assert (slot2 >= 0).all()
+        for c in field.channels:
+            a = np.asarray(m.voxels[c.name])[live]
+            b = np.asarray(m2.voxels[c.name])[slot2]
+            # OFusion timestamp goes through the reference's f64 slot
+            np.testing.assert_allclose(a, b, atol=1e-6)
+        # node pyramid values survive where marked
+        for lv in range(1, m.block_level + 1):
+            al = np.asarray(m.node_alloc[lv])
+            for c in field.channels:
+                a = np.asarray(m.node_values[lv][c.name])[al]
+                b = np.asarray(m2.node_values[lv][c.name])[
+                    np.asarray(m2.node_alloc[lv]) & al] \
+                    if al.any() else a
+            # marked cells whose value differs from init must survive
+            va = np.asarray(m.node_values[lv][field.select_channel])
+            meaningful = al & (va != field.channels[0].init)
+            if meaningful.any():
+                vb = np.asarray(m2.node_values[lv][field.select_channel])
+                np.testing.assert_allclose(va[meaningful], vb[meaningful],
+                                           atol=1e-6)
+
+    @pytest.mark.parametrize("field_name", ["sdf", "ofusion"])
+    def test_reference_parser_roundtrip(self, tmp_path, field_name):
+        """Our save_se through the REFERENCE's own Octree::load/save
+        (csrc/se_bin_oracle): block records must survive byte-exactly.
+        Skips when the oracle binary is not built."""
+        import os
+        import subprocess
+        tool = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "csrc",
+            f"se_bin_oracle_{field_name}")
+        if not os.path.exists(tool):
+            pytest.skip("csrc se_bin_oracle not built")
+        m, field = self._fused_map(field_name)
+        ours = str(tmp_path / "ours.bin")
+        resaved = str(tmp_path / "resaved.bin")
+        serialise.save_se(ours, m)
+        out = subprocess.run([tool, ours, resaved], capture_output=True,
+                             text=True, timeout=300, check=True)
+        import json
+        stats = json.loads(out.stdout.strip().splitlines()[-1])
+        assert stats["blocks"] == int(m.n_blocks)
+        live = np.asarray(octree.slot_mask(m))
+        x = np.asarray(m.voxels[field.channels[0].name])[live]
+        # the reference's own load only restores voxel[0] of each block
+        # (memcpy sizeof(value_type), octree.hpp:946) — so compare its
+        # checksum of the FIRST voxel per block plus 511 init values
+        init = field.channels[0].init
+        expect = float(x[:, 0].sum() + 511 * init * live.sum())
+        assert abs(stats["sum_x"] - expect) < 1e-3 * max(1, abs(expect))
 
 
 class TestVtk:

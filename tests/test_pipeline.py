@@ -403,10 +403,14 @@ class TestIncrementalView:
         held = np.asarray(slam.state.view, dtype=np.float32)
         np.testing.assert_array_equal(rebuilt, held)
         # same trajectory as the rebuild path (tracked flags and pose are
-        # bit-for-bit chaotic on this tiny scene; the bound is enough)
+        # bit-for-bit chaotic on this tiny scene; the bound is enough).
+        # 0.25 not 0.1: the round-4 sigma clamp-order parity fix widens
+        # sigma to 2*voxel_size on coarse maps (2*vs > 0.05 at 128^3),
+        # which blurs this toy scene's occupancy and shifts its chaotic
+        # ICP trajectory; 256^3 (2*vs = 0.0375) is unaffected.
         err = np.linalg.norm(np.asarray(slam.state.pose)[:3, 3]
                              - poses[-1][:3, 3])
-        assert err < 0.1
+        assert err < 0.25
 
 
 def test_full_res_scan_tracks():
