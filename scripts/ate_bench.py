@@ -55,6 +55,7 @@ def main():
     icp_decim = _intflag("--icp-decim", 1)
     w2b = _intflag("--w2-budget", 8192)
     int_budget = _intflag("--int-budget", 0)
+    patch = _intflag("--patch", 16)
     alloc_rate = _intflag("--alloc-rate", 1)
     grad_decim = _intflag("--grad-decim", 1)
     inc_view = "--inc-view" in sys.argv
@@ -108,6 +109,7 @@ def main():
                         icp_finest_decimate=icp_decim,
                         raycast_w2_budget=w2b,
                         integrate_budget=int_budget,
+                        integrate_patch=patch,
                         alloc_stride=alloc_stride,
                         alloc_rate=alloc_rate,
                         raycast_grad_decim=grad_decim,
@@ -133,6 +135,7 @@ def main():
                            lazy_assoc=lazy_assoc,
                            finest_decimate=icp_decim, w2_budget=w2b,
                            integrate_budget=int_budget,
+                           integrate_patch=patch,
                            alloc_stride=alloc_stride,
                            alloc_rate=alloc_rate, grad_decim=grad_decim,
                            full_res_scan=full_res_scan,
@@ -203,6 +206,7 @@ def main():
         "icp_finest_decimate": icp_decim,
         "w2_budget": w2b,
         "integrate_budget": int_budget,
+        "integrate_patch": patch,
         "alloc_stride": alloc_stride,
         "alloc_rate": alloc_rate,
         "grad_decim": grad_decim,
@@ -263,6 +267,8 @@ def main():
         mode += f"_w2b{w2b}"
     if int_budget:
         mode += f"_ib{int_budget}"
+    if patch != 16:
+        mode += f"_pt{patch}"
     if alloc_stride != 1.0:
         mode += f"_as{alloc_stride:g}"
     if scan_stride != 0.5:

@@ -51,6 +51,8 @@ def knobs(rec: dict) -> str:
         parts.append(f"ar{rec['alloc_rate']}")
     if rec.get("grad_decim", 1) != 1:
         parts.append(f"gd{rec['grad_decim']}")
+    if rec.get("integrate_patch", 16) != 16:
+        parts.append(f"pt{rec['integrate_patch']}")
     if rec.get("incremental_view"):
         parts.append("iv")
     if rec.get("span_factor", 1.6) != 1.6:

@@ -145,6 +145,16 @@ class Configuration:
                                            # frame (compacted rows) instead
                                            # of streaming the whole
                                            # capacity axis; 0 = dense
+    integrate_patch: int = 16              # depth patch side per block:
+                                           # blocks whose pixel footprint
+                                           # exceeds it sample a stride-
+                                           # decimated depth (the fusion
+                                           # oracle measured the stride
+                                           # atlas as the ONLY per-voxel
+                                           # fusion deviation from the
+                                           # reference; 32 halves the
+                                           # stride at 256^3 for ~2x patch
+                                           # gather rows)
     raycast_coarse_samples: int = 96
     raycast_fine_samples: int = 16
     field_type: str = "sdf"                # "sdf" | "ofusion"

@@ -306,7 +306,7 @@ def _decimated_atlas(depth):
 
 
 def fuse_rows(field, bc, live, data_rows, depth, T_cw, K, timestamp,
-              voxel_size):
+              voxel_size, patch: int = PATCH):
     """Per-voxel projective fusion over (compacted) block rows: the core
     of :func:`integrate` (`projective_functor.hpp:73-111` semantics),
     separated so the sharded frame (`parallel/frame_dist.py`) can fuse
@@ -331,7 +331,7 @@ def fuse_rows(field, bc, live, data_rows, depth, T_cw, K, timestamp,
     zc = jnp.maximum(ccam[..., 2], 1e-3)
     # projected footprint of the block diagonal, in pixels
     foot = jnp.abs(K[0, 0]) * (1.7320508 * BLOCK_SIDE * voxel_size) / zc
-    lvl = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(foot / PATCH, 1.0)))
+    lvl = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(foot / patch, 1.0)))
                    .astype(jnp.int32), 0, N_STRIDES - 1)
     stride = (1 << lvl).astype(jnp.float32)
     atlas = _decimated_atlas(depth)                           # [L, H, W]
@@ -339,20 +339,20 @@ def fuse_rows(field, bc, live, data_rows, depth, T_cw, K, timestamp,
     # patch top-left in strided coords, clamped to the level's extent
     lh = (H // (1 << lvl))
     lw = (W // (1 << lvl))
-    p0r = jnp.clip((cpix[..., 1] / stride).astype(jnp.int32) - PATCH // 2,
-                   0, lh - PATCH)
-    p0c = jnp.clip((cpix[..., 0] / stride).astype(jnp.int32) - PATCH // 2,
-                   0, lw - PATCH)
+    p0r = jnp.clip((cpix[..., 1] / stride).astype(jnp.int32) - patch // 2,
+                   0, lh - patch)
+    p0c = jnp.clip((cpix[..., 0] / stride).astype(jnp.int32) - patch // 2,
+                   0, lw - patch)
 
     # Patch fetch in two descriptor-bound steps: (1) fat-row gather of
     # full-width row slabs (row count is what costs, width is ~free), then
-    # (2) a one-hot einsum crops each slab to its PATCH-wide column window
+    # (2) a one-hot einsum crops each slab to its patch-wide column window
     # on the MXU.  (Both vmapped dynamic_slice forms lower to catastrophic
     # elementwise/scalar gathers on this backend.)
     atlas2d = atlas.reshape(-1, W)                            # [L*H, W]
-    row_idx = (lvl * H + p0r)[:, None] + jnp.arange(PATCH)    # [cap, P]
+    row_idx = (lvl * H + p0r)[:, None] + jnp.arange(patch)    # [cap, P]
     slab = atlas2d[row_idx]                                   # [cap, P, W]
-    col_win = p0c[:, None, None] + jnp.arange(PATCH)[None, :, None]
+    col_win = p0c[:, None, None] + jnp.arange(patch)[None, :, None]
     oh_win = (col_win == jnp.arange(W)[None, None, :])        # [cap, P, W]
     # f32 one-hot keeps the depth sample exact (bf16 would round mm depth)
     patches = jnp.einsum("nrw,ncw->nrc", slab, oh_win.astype(jnp.float32))
@@ -362,13 +362,13 @@ def fuse_rows(field, bc, live, data_rows, depth, T_cw, K, timestamp,
     iy = pix[..., 1].astype(jnp.int32)
     lr = (iy >> lvl[:, None]) - p0r[:, None]                  # patch row
     lc = (ix >> lvl[:, None]) - p0c[:, None]                  # patch col
-    in_patch = (lr >= 0) & (lr < PATCH) & (lc >= 0) & (lc < PATCH)
+    in_patch = (lr >= 0) & (lr < patch) & (lc >= 0) & (lc < patch)
     valid = valid & in_patch
 
-    oh_row = jax.nn.one_hot(jnp.clip(lr, 0, PATCH - 1), PATCH,
+    oh_row = jax.nn.one_hot(jnp.clip(lr, 0, patch - 1), patch,
                             dtype=jnp.float32)                # [cap,512,P]
     rowvals = jnp.einsum("nvp,npq->nvq", oh_row, patches)     # [cap,512,P]
-    oh_col = jax.nn.one_hot(jnp.clip(lc, 0, PATCH - 1), PATCH,
+    oh_col = jax.nn.one_hot(jnp.clip(lc, 0, patch - 1), patch,
                             dtype=jnp.float32)
     dsample = jnp.sum(rowvals * oh_col, axis=-1)              # [cap,512]
 
@@ -385,7 +385,7 @@ def fuse_rows(field, bc, live, data_rows, depth, T_cw, K, timestamp,
 
 def integrate(m: VoxelMap, field, depth: jnp.ndarray, pose: jnp.ndarray,
               K: jnp.ndarray, timestamp=0.0,
-              budget: int = 0, view=None):
+              budget: int = 0, view=None, patch: int = PATCH):
     """Fuse one depth frame (projective_map equivalent).
 
     Per block: slice-gather its depth footprint patch (stride matched to the
@@ -453,7 +453,7 @@ def integrate(m: VoxelMap, field, depth: jnp.ndarray, pose: jnp.ndarray,
         n_rows = cap
 
     rows, visible = fuse_rows(field, bc, live, data_rows, depth, T_cw, K,
-                              timestamp, voxel_size)
+                              timestamp, voxel_size, patch=patch)
 
     if sel is not None:
         # scatter the compacted rows back by slot; non-selected blocks keep

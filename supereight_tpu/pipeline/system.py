@@ -128,6 +128,7 @@ class DenseSLAMSystem:
                 integrate_budget=config.integrate_budget,
                 alloc_stride=config.alloc_stride,
                 alloc_rate=config.alloc_rate,
+                integrate_patch=config.integrate_patch,
             ),
             static_argnames=("use_gt", "neg_y"))
         # (no donation here: callers may hold references to earlier states;
@@ -149,7 +150,8 @@ class DenseSLAMSystem:
                 integration_rate=config.integration_rate,
                 integrate_budget=config.integrate_budget,
                 alloc_stride=config.alloc_stride,
-                alloc_rate=config.alloc_rate)),
+                alloc_rate=config.alloc_rate,
+                integrate_patch=config.integrate_patch)),
             "raycasting": jax.jit(functools.partial(
                 raycasting_stage, field=self.field,
                 normals=config.raycast_normals,
@@ -389,7 +391,8 @@ def integration_stage(state: FrameState, k, frame, *, field,
                       integration_rate,
                       integrate_budget: int = 0,
                       alloc_stride: float = 1.0,
-                      alloc_rate: int = 1) -> FrameState:
+                      alloc_rate: int = 1,
+                      integrate_patch: int = 16) -> FrameState:
     """integration() (`DenseSLAMSystem.cpp:206-268`): integrates when
     tracked or during the bootstrap frames.  When the state carries a
     gradient table (raycast_normals == "stored") it is rebuilt here — the
@@ -432,11 +435,13 @@ def integration_stage(state: FrameState, k, frame, *, field,
             m, view = integration.integrate(m, field, float_depth, pose, K,
                                             timestamp=timestamp,
                                             budget=integrate_budget,
-                                            view=view)
+                                            view=view,
+                                            patch=integrate_patch)
         else:
             m = integration.integrate(m, field, float_depth, pose, K,
                                       timestamp=timestamp,
-                                      budget=integrate_budget)
+                                      budget=integrate_budget,
+                                      patch=integrate_patch)
             if view is not None:
                 # multiscale (occupancy): the node show-through re-selects
                 # every unallocated row, so rebuild — but only HERE, on
@@ -582,6 +587,7 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   integrate_budget: int = 0,
                   alloc_stride: float = 1.0,
                   alloc_rate: int = 1,
+                  integrate_patch: int = 16,
                   near_rescue: bool = True,
                   adaptive_deg: float = 0.0,
                   adaptive_dist: float = 0.12,
@@ -598,7 +604,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                               integration_rate=integration_rate,
                               integrate_budget=integrate_budget,
                               alloc_stride=alloc_stride,
-                              alloc_rate=alloc_rate)
+                              alloc_rate=alloc_rate,
+                              integrate_patch=integrate_patch)
     return raycasting_stage(state, k, frame, field=field, normals=normals,
                             second_window=second_window,
                             span_factor=span_factor, refine=refine,
