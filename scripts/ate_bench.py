@@ -77,6 +77,24 @@ def main():
     gather_streams = int(sys.argv[sys.argv.index("--gather-streams") + 1]) \
         if "--gather-streams" in sys.argv else 1
 
+    # default-flags noise regime (VERDICT r3 item 3): `--bilateral` with
+    # no explicit config knobs selects the noise-validated stack exactly
+    # like the benchmark frontend (config.NOISE_REGIME)
+    _CONFIG_FLAGS = {"--field", "--normals", "--int-rate", "--no-rescue",
+                     "--mu", "--icp-decim", "--int-budget", "--scan-stride",
+                     "--alloc-rate", "--grad-decim", "--inc-view",
+                     "--adaptive", "--rc-rate", "--warp", "--no-fine2",
+                     "--lazy-assoc", "--refine", "--span", "--midsolve",
+                     "--gather-streams", "--full-res-scan", "--alloc-stride",
+                     "--patch", "--w2-budget", "--image-normals",
+                     "--adaptive-dist"}
+    auto_regime = bilateral and not (_CONFIG_FLAGS & set(sys.argv))
+    if auto_regime:
+        field_name, normals, int_rate, near_rescue = \
+            "ofusion", "volume", 4, False
+        print("# bilateral on, no explicit knobs: noise regime selected "
+              "(ofusion, volume normals, -z4, no-rescue)", file=sys.stderr)
+
     import jax
     import jax.numpy as jnp
     from supereight_tpu.config import Configuration
@@ -218,6 +236,7 @@ def main():
         "midsolve": midsolve,
         "near_rescue": near_rescue,
         "gather_streams": gather_streams,
+        "auto_noise_regime": auto_regime,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
         "ate_max_m": round(ate["max"], 4),

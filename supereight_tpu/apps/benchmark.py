@@ -144,6 +144,28 @@ def main(argv=None):
         integrate_budget=args.int_budget,
     )
 
+    # -F is the noisy-sensor signal: unless the user pinned the relevant
+    # knobs, switch to the noise-validated stack (config.NOISE_REGIME —
+    # occupancy fusion, measured 9.88 cm on the Kinect-noise sequence vs
+    # 23.4 for the SDF default)
+    argv_l = sys.argv[1:] if argv is None else argv
+    pinned = set()
+    if "--field" in argv_l:
+        pinned.add("field_type")
+    if "--normals" in argv_l:
+        pinned.add("raycast_normals")
+    if "-z" in argv_l or "--integration-rate" in argv_l:
+        pinned.add("integration_rate")
+    if "-m" in argv_l or "--mu" in argv_l:
+        pinned.add("mu")
+    from supereight_tpu.config import apply_noise_regime
+    cfg2 = apply_noise_regime(cfg, pinned)
+    if cfg2 is not cfg and cfg2.field_type != cfg.field_type:
+        print(f"# bilateral filter on: noise regime selected "
+              f"(field={cfg2.field_type}, -z{cfg2.integration_rate}; "
+              f"pass --field to override)", file=sys.stderr)
+    cfg = cfg2
+
     gt_poses = None
     if args.ground_truth:
         transform = None

@@ -109,3 +109,30 @@ def test_status_claims_match_captures():
     sys.path.insert(0, os.path.join(root, "scripts"))
     from records_table import check_status_claims
     assert check_status_claims(root) == 0
+
+
+def test_noise_regime_policy():
+    """-F (bilateral) auto-selects the noise-validated occupancy stack
+    unless the user pinned the knobs (VERDICT r3 item 3)."""
+    from supereight_tpu.config import Configuration, apply_noise_regime
+
+    base = Configuration(bilateral_filter=True)
+    out = apply_noise_regime(base)
+    assert out.field_type == "ofusion"
+    assert out.integration_rate == 4
+    assert not out.raycast_near_rescue
+
+    # explicit field choice disables the whole policy
+    pinned = apply_noise_regime(base, pinned=("field_type",))
+    assert pinned.field_type == "sdf"
+    assert pinned.integration_rate == base.integration_rate
+
+    # partial pinning keeps the user's value for that knob only
+    part = apply_noise_regime(
+        Configuration(bilateral_filter=True, integration_rate=1),
+        pinned=("integration_rate",))
+    assert part.field_type == "ofusion" and part.integration_rate == 1
+
+    # clean data (no bilateral) never switches
+    clean = apply_noise_regime(Configuration(bilateral_filter=False))
+    assert clean.field_type == "sdf"
