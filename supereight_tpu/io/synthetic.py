@@ -22,29 +22,56 @@ from . import groundtruth, raw
 MARGIN = 0.45   # walls sit inside the volume so the TSDF band fits
 
 
-def scene_sdf(p, room_dim: float):
-    """Analytic scene: room interior + central sphere + a box; units meters.
+def scene_sdf(p, room_dim: float, variant: int = 0):
+    """Analytic scene: room interior + obstacles; units meters.
     ``p``[..., 3] in world coords; the room occupies
     [MARGIN, room_dim-MARGIN]^3 so wall surfaces stay inside the map volume
-    (like ICL-NUIM's ~4 m room in supereight's 4.8 m canonical volume)."""
+    (like ICL-NUIM's ~4 m room in supereight's 4.8 m canonical volume).
+
+    ``variant`` selects the room geometry: 0 = the bench scene (sphere +
+    box), 1 = a held-out room (pillar, two boxes, offset sphere, a wall
+    alcove) for trajectory-independent generalization runs."""
     c = room_dim / 2.0
     center = jnp.asarray([c, c, c])
     # room: inside of the box [MARGIN, room_dim-MARGIN]^3 (negative in walls)
     q = jnp.abs(p - center) - (c - MARGIN)
     room = -(jnp.max(q, axis=-1))
-    # sphere
-    sph_c = center + jnp.asarray([0.0, 0.3, 0.0])
-    sphere = jnp.linalg.norm(p - sph_c, axis=-1) - 0.5
-    # box obstacle
-    box_c = center + jnp.asarray([-0.9, 0.6, 0.7])
-    bq = jnp.abs(p - box_c) - jnp.asarray([0.3, 0.4, 0.25])
-    box = (jnp.linalg.norm(jnp.maximum(bq, 0.0), axis=-1)
-           + jnp.minimum(jnp.max(bq, axis=-1), 0.0))
-    return jnp.minimum(room, jnp.minimum(sphere, box))
+    if variant == 0:
+        sph_c = center + jnp.asarray([0.0, 0.3, 0.0])
+        sphere = jnp.linalg.norm(p - sph_c, axis=-1) - 0.5
+        box_c = center + jnp.asarray([-0.9, 0.6, 0.7])
+        bq = jnp.abs(p - box_c) - jnp.asarray([0.3, 0.4, 0.25])
+        box = (jnp.linalg.norm(jnp.maximum(bq, 0.0), axis=-1)
+               + jnp.minimum(jnp.max(bq, axis=-1), 0.0))
+        return jnp.minimum(room, jnp.minimum(sphere, box))
+    # variant 1: held-out room
+    def _box(bc, half):
+        bq = jnp.abs(p - bc) - jnp.asarray(half)
+        return (jnp.linalg.norm(jnp.maximum(bq, 0.0), axis=-1)
+                + jnp.minimum(jnp.max(bq, axis=-1), 0.0))
+    # vertical pillar (capped cylinder via 2D circle + slab)
+    pil_c = center + jnp.asarray([0.8, 0.0, -0.6])
+    r2d = jnp.linalg.norm((p - pil_c)[..., ::2], axis=-1) - 0.28
+    slab = jnp.abs(p[..., 1] - c) - (c - MARGIN)
+    pillar = jnp.maximum(r2d, slab)
+    sph_c = center + jnp.asarray([-0.7, 0.55, -0.9])
+    sphere = jnp.linalg.norm(p - sph_c, axis=-1) - 0.35
+    box1 = _box(center + jnp.asarray([0.4, 0.75, 1.0]),
+                [0.55, 0.25, 0.35])
+    box2 = _box(center + jnp.asarray([-1.2, 0.2, 0.2]),
+                [0.25, 0.8, 0.25])
+    # alcove: carve a recess out of one wall (max with negated box)
+    alcove = _box(jnp.asarray([room_dim - MARGIN, c, c]),
+                  [0.35, 0.7, 0.9])
+    room = jnp.maximum(room, -alcove)
+    return jnp.minimum(room, jnp.minimum(
+        pillar, jnp.minimum(sphere, jnp.minimum(box1, box2))))
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "steps"))
-def render_depth(pose, k, room_dim, H: int, W: int, steps: int = 160):
+@functools.partial(jax.jit,
+                   static_argnames=("H", "W", "steps", "variant"))
+def render_depth(pose, k, room_dim, H: int, W: int, steps: int = 160,
+                 variant: int = 0):
     """Exact depth (camera z, meters) by sphere tracing the analytic SDF."""
     fx, fy, cx, cy = k[0], k[1], k[2], k[3]
     x = jnp.arange(W, dtype=jnp.float32)[None, :]
@@ -63,7 +90,7 @@ def render_depth(pose, k, room_dim, H: int, W: int, steps: int = 160):
     def body(_, carry):
         t, done = carry
         p = origin + dirs * t[..., None]
-        f = scene_sdf(p, room_dim)
+        f = scene_sdf(p, room_dim, variant)
         hit = f < 1e-4
         # conservative step: scale SDF by ray norm (dirs are not unit)
         dn = jnp.linalg.norm(dirs, axis=-1)
@@ -100,6 +127,53 @@ def orbit_poses(n: int, room_dim: float, radius: float = 1.1,
         T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = xaxis, yaxis, z, eye
         poses.append(T)
     return np.stack(poses)
+
+
+def translation_poses(n: int, room_dim: float, span: float = 2.4,
+                      look_angle: float = 0.35):
+    """Translation-dominant path: dolly along x past the scene at a fixed
+    small look-in angle (≈25 mm/frame at n=96, near-zero rotation) —
+    the opposite regime from :func:`orbit_poses`' rotation-dominant
+    sweep.  Returns [n, 4, 4]."""
+    c = room_dim / 2.0
+    poses = []
+    for i in range(n):
+        s = i / max(n - 1, 1)
+        eye = np.array([c - span / 2 + span * s, c - 0.1, c - 1.4],
+                       np.float32)
+        # constant gaze: slightly into the room, tilted by look_angle
+        z = np.array([np.sin(look_angle), 0.0, np.cos(look_angle)],
+                     np.float32)
+        z /= np.linalg.norm(z)
+        up = np.array([0.0, -1.0, 0.0], np.float32)
+        xaxis = np.cross(up, z)
+        xaxis /= np.linalg.norm(xaxis)
+        yaxis = np.cross(z, xaxis)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = xaxis, yaxis, z, eye
+        poses.append(T)
+    return np.stack(poses)
+
+
+def jitter_poses(poses: np.ndarray, rot_sigma_deg: float = 0.35,
+                 trans_sigma_m: float = 0.003, seed: int = 7):
+    """Hand-shake / rolling-shutter-style pose jitter: compose each pose
+    with a small random rotation + translation (deterministic seed).
+    The jittered poses ARE the ground truth (frames are rendered from
+    them) — this probes frame-to-frame motion roughness, not gt error."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for T in poses:
+        w = rng.standard_normal(3) * np.radians(rot_sigma_deg)
+        th = np.linalg.norm(w)
+        K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]],
+                      [-w[1], w[0], 0]], np.float64) / max(th, 1e-12)
+        R = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+        J = np.eye(4, dtype=np.float32)
+        J[:3, :3] = (T[:3, :3] @ R).astype(np.float32)
+        J[:3, 3] = T[:3, 3] + rng.standard_normal(3) * trans_sigma_m
+        out.append(J)
+    return np.stack(out)
 
 
 DEFAULT_K = (120.0, 120.0, 160.0, 120.0)   # for 320x240
