@@ -28,12 +28,9 @@ def main():
         sys.argv[sys.argv.index("--field") + 1] == "ofusion" else "sdf"
     use_gt = "--gt" in sys.argv
     normals = "volume"
-    if "--image-normals" in sys.argv:
-        normals = "image"
     if "--normals" in sys.argv:
         normals = sys.argv[sys.argv.index("--normals") + 1]
     second_window = "--no-fine2" not in sys.argv
-    lazy_assoc = "--lazy-assoc" in sys.argv
     refine = sys.argv[sys.argv.index("--refine") + 1] \
         if "--refine" in sys.argv else "secant"
 
@@ -51,7 +48,6 @@ def main():
     nf = _intflag("--frames", 96)
     int_rate = _intflag("--int-rate", 1)
     rc_rate = _intflag("--rc-rate", 1)
-    warp = "--warp" in sys.argv and rc_rate > 1
     icp_decim = _intflag("--icp-decim", 1)
     w2b = _intflag("--w2-budget", 8192)
     int_budget = _intflag("--int-budget", 0)
@@ -74,8 +70,6 @@ def main():
         if "--scan-stride" in sys.argv else 0.5
     midsolve = "--midsolve" in sys.argv
     near_rescue = "--no-rescue" not in sys.argv
-    gather_streams = int(sys.argv[sys.argv.index("--gather-streams") + 1]) \
-        if "--gather-streams" in sys.argv else 1
 
     # default-flags noise regime (VERDICT r3 item 3): `--bilateral` with
     # no explicit config knobs selects the noise-validated stack exactly
@@ -83,10 +77,10 @@ def main():
     _CONFIG_FLAGS = {"--field", "--normals", "--int-rate", "--no-rescue",
                      "--mu", "--icp-decim", "--int-budget", "--scan-stride",
                      "--alloc-rate", "--grad-decim", "--inc-view",
-                     "--adaptive", "--rc-rate", "--warp", "--no-fine2",
-                     "--lazy-assoc", "--refine", "--span", "--midsolve",
-                     "--gather-streams", "--full-res-scan", "--alloc-stride",
-                     "--patch", "--w2-budget", "--image-normals",
+                     "--adaptive", "--rc-rate", "--no-fine2",
+                     "--refine", "--span", "--midsolve",
+                     "--full-res-scan", "--alloc-stride",
+                     "--patch", "--w2-budget",
                      "--adaptive-dist"}
     auto_regime = bilateral and not (_CONFIG_FLAGS & set(sys.argv))
     if auto_regime:
@@ -120,10 +114,8 @@ def main():
                         raycast_span_factor=span,
                         raycast_refine=refine,
                         raycast_rate=rc_rate,
-                        raycast_warp=warp,
                         raycast_adaptive_deg=adaptive_deg,
                         raycast_adaptive_dist=adaptive_dist,
-                        icp_lazy_assoc=lazy_assoc,
                         icp_finest_decimate=icp_decim,
                         raycast_w2_budget=w2b,
                         integrate_budget=int_budget,
@@ -136,7 +128,6 @@ def main():
                         raycast_scan_stride=scan_stride,
                         raycast_midsolve=midsolve,
                         raycast_near_rescue=near_rescue,
-                        raycast_gather_streams=gather_streams,
                         field_type=field_name)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
@@ -148,9 +139,8 @@ def main():
                            use_gt=use_gt, neg_y=False, normals=normals,
                            second_window=second_window, span_factor=span,
                            refine=refine, raycast_rate=rc_rate,
-                           warp=warp, adaptive_deg=adaptive_deg,
+                           adaptive_deg=adaptive_deg,
                            adaptive_dist=adaptive_dist,
-                           lazy_assoc=lazy_assoc,
                            finest_decimate=icp_decim, w2_budget=w2b,
                            integrate_budget=int_budget,
                            integrate_patch=patch,
@@ -158,8 +148,7 @@ def main():
                            alloc_rate=alloc_rate, grad_decim=grad_decim,
                            full_res_scan=full_res_scan,
                            scan_stride=scan_stride, midsolve=midsolve,
-                           near_rescue=near_rescue,
-                           gather_streams=gather_streams)
+                           near_rescue=near_rescue)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -212,13 +201,11 @@ def main():
         "mu": mu,
         "mode": "gt" if use_gt else "icp",
         "normals": normals,
-        "lazy_assoc": lazy_assoc,
         "second_window": second_window,
         "span_factor": span,
         "refine": refine,
         "integration_rate": int_rate,
         "raycast_rate": rc_rate,
-        "raycast_warp": warp,
         "adaptive_deg": adaptive_deg,
         "adaptive_dist": adaptive_dist,
         "icp_finest_decimate": icp_decim,
@@ -235,7 +222,6 @@ def main():
         "scan_stride": scan_stride,
         "midsolve": midsolve,
         "near_rescue": near_rescue,
-        "gather_streams": gather_streams,
         "auto_noise_regime": auto_regime,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
@@ -262,20 +248,14 @@ def main():
     print(json.dumps(rec))
     suffix = "" if field_name == "sdf" else "_ofusion"
     mode = "" if not use_gt else "_gt"
-    if normals == "image":
-        mode += "_imgn"
-    elif normals != "volume":
+    if normals != "volume":
         mode += f"_{normals}"
-    if lazy_assoc:
-        mode += "_la"
     if refine != "secant":
         mode += "_pl"
     if not second_window:
         mode += "_nf2"
     if rc_rate != 1:
         mode += f"_rr{rc_rate}"
-        if warp:
-            mode += "w"
     if adaptive_deg > 0:
         mode += f"_ad{adaptive_deg:g}"
         if adaptive_dist != 0.12:
@@ -310,8 +290,6 @@ def main():
         mode += f"_{tag}"
     if span != 1.6:
         mode += f"_sp{span:g}"
-    if gather_streams > 1:
-        mode += f"_gs{gather_streams}"
     if not near_rescue:
         mode += "_nr"
     if int_rate != 1:

@@ -61,9 +61,6 @@ def parse_args(argv=None) -> argparse.Namespace:
     # equivalents — its raycast runs every frame at one fidelity)
     p.add_argument("--raycast-rate", type=int, default=1,
                    help="refresh reference maps every Nth frame")
-    p.add_argument("--warp", action="store_true",
-                   help="with --raycast-rate>1: forward-warp the maps to "
-                        "the current pose on skipped frames")
     p.add_argument("--adaptive-raycast", type=float, default=0.0,
                    metavar="DEG",
                    help="motion-adaptive model refresh: raycast once the "
@@ -73,8 +70,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--adaptive-dist", type=float, default=0.12,
                    help="translation trigger (m) for --adaptive-raycast")
     p.add_argument("--normals", default="volume",
-                   choices=("volume", "stored", "hybrid", "image",
-                            "forward3"))
+                   choices=("volume", "stored", "hybrid", "exact"))
     p.add_argument("--icp-decim", type=int, default=1,
                    help="stride the finest ICP level's input maps")
     p.add_argument("--scan-stride", type=float, default=0.5,
@@ -134,7 +130,6 @@ def main(argv=None):
         bilateral_filter=args.bilateral_filter,
         field_type=args.field,
         raycast_rate=args.raycast_rate,
-        raycast_warp=args.warp,
         raycast_adaptive_deg=args.adaptive_raycast,
         raycast_adaptive_dist=args.adaptive_dist,
         raycast_normals=args.normals,

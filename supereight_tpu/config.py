@@ -46,10 +46,9 @@ class Configuration:
     map_partitions: int = 1                # owner partitions (multi-device)
     raycast_normals: str = "volume"        # "volume" (reference grad) |
                                            # "stored" (precomputed table) |
-                                           # "hybrid" | "image" | "forward3"
+                                           # "hybrid" | "exact" (rejected
+                                           # variants: pipeline/experimental)
     raycast_second_window: bool = True     # deep-surface rescue scan
-    icp_lazy_assoc: bool = False           # skip sub-pixel re-association
-                                           # gathers in the ICP loop
     icp_finest_decimate: int = 1           # stride the finest ICP level's
                                            # input maps (2 = quarter the
                                            # association descriptors of
@@ -78,11 +77,6 @@ class Configuration:
                                            # Nth frame (fusion still every
                                            # integration frame; new regions
                                            # allocate <=N-1 frames late)
-    raycast_gather_streams: int = 1        # split raycast sample gathers
-                                           # into N separate ops (XLA picks
-                                           # a ~4x slower gather strategy
-                                           # for one big op; see
-                                           # bench_data/stream_probe.json)
     raycast_midsolve: bool = False         # half-res secant re-solve between
                                            # scan and full-res refine (pairs
                                            # with a coarse scan_stride)
@@ -125,14 +119,6 @@ class Configuration:
                                            # measured 11.7/26.2 cm there
     raycast_adaptive_dist: float = 0.12    # translation trigger (m) paired
                                            # with raycast_adaptive_deg
-    raycast_warp: bool = False             # with raycast_rate > 1: forward-
-                                           # warp (z-buffer splat) the last
-                                           # pristine raycast to the current
-                                           # pose on skipped frames instead
-                                           # of leaving the maps stale.
-                                           # MEASURED NEGATIVE for ICP ATE
-                                           # (see raycast.warp_maps); keep
-                                           # off for tracking
     max_alloc_per_frame: int = 8192        # candidate new blocks per frame
     alloc_stride: float = 1.0              # band-march sample spacing in
                                            # voxels (1 = reference-exact).

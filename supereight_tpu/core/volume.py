@@ -50,6 +50,16 @@ class Volume:
         return octree.interp(self.map, channel or self.channel,
                              self._scale(pos))
 
+    def interp_multiscale(self, pos, channel=None):
+        """Trilinear interpolation whose corners fall back to the deepest
+        allocated node value where leaf blocks are missing — the
+        reference's interp gather through coarse octants
+        (`interpolation/interp_gather.hpp:105-237`); the right interp for
+        multiscale (occupancy) maps whose unallocated space carries node
+        values."""
+        return octree.interp_multiscale(self.map, channel or self.channel,
+                                        self._scale(pos))
+
     def grad(self, pos, channel=None):
         """Field gradient at metric pos (`volume_template.hpp:95-101`)."""
         return octree.grad(self.map, channel or self.channel,

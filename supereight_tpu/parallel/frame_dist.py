@@ -48,10 +48,10 @@ dense view build (the sharded analog of single-chip
 frames), and per-device owner-local fusion over ``capacity/n_devices``
 rows plays the role of ``integrate_budget`` compaction.
 
-Not supported here (measured-negative or redundant single-chip knobs):
-``raycast_warp`` (ATE negative, off by default), stored-normal gradient
-tables (hybrid normals — the headline config — are supported), and
-``lazy_assoc``.
+Not supported here: stored-normal gradient tables (hybrid normals — the
+headline config — are supported).  The measured-negative knobs that once
+existed single-chip (``raycast_warp``, ``icp_lazy_assoc``) are pruned
+everywhere — see ``pipeline/experimental.py``.
 
 Reference: SURVEY.md §2.4 (the north-star scale-out design); the
 single-process reference has no counterpart (`DenseSLAMSystem.cpp`).

@@ -183,19 +183,15 @@ def pack_view(m: VoxelMap, field):
     return {"F": flat}
 
 
-def _sample_volume(vol, pos_vox, size, fill, streams: int = 1):
+def _sample_volume(vol, pos_vox, size, fill):
     """Nearest-voxel lookup with out-of-bounds fill.  ``vol`` is either a
     dense ``[S,S,S]`` volume or a brick-tiled ``[B^3, 512]`` row view
     (see pack_view); both cost one gathered descriptor per sample.
 
-    ``streams`` > 1 splits the index set into that many SEPARATE gather
-    ops on the same operand.  Measured on v5e (bench_data/
-    stream_probe.json, in-scan at the fine-scan's exact shapes): one
-    268k-element gather from the 33 MB tiled view runs at 39.7 ns/elem,
-    the same indices as 2/4 split ops at 10.8/10.1 — XLA picks a ~4x
-    slower gather strategy for large single ops, and splitting is free
-    (the chunks are independent; no table copies needed — a stacked-copy
-    variant measured no better and bloats the program)."""
+    (A ``gather_streams`` knob that split this into N separate gather ops
+    measured 4x faster in isolated probes — bench_data/stream_probe.json —
+    but neutral-to-negative at pipeline level; pruned, see
+    ``pipeline/experimental.py``.)"""
     v = jnp.floor(pos_vox).astype(jnp.int32)
     inb = ((v >= 0) & (v < size)).all(axis=-1)
     vc = jnp.clip(v, 0, size - 1)
@@ -205,15 +201,15 @@ def _sample_volume(vol, pos_vox, size, fill, streams: int = 1):
         l = vc & 7
         row = (b[..., 0] * B + b[..., 1]) * B + b[..., 2]
         col = l[..., 0] + l[..., 1] * 8 + l[..., 2] * 64
-        val = _gather2(vol, row, col, streams)
+        val = _gather2(vol, row, col)
     else:
         val = _gather2(vol.reshape(vol.shape[0], -1),
                        vc[..., 0],
-                       vc[..., 1] * vol.shape[2] + vc[..., 2], streams)
+                       vc[..., 1] * vol.shape[2] + vc[..., 2])
     return jnp.where(inb, val, jnp.float32(fill)), inb
 
 
-def _sample_volume_interp(vol, pos_vox, size, nan_sub, streams: int = 1):
+def _sample_volume_interp(vol, pos_vox, size, nan_sub):
     """Trilinear sample from the tiled view — the reference's
     ``volume.interp`` (`octree.hpp:542-563`, used by its raycaster near
     the surface, `kfusion/rendering_impl.hpp:55-57`): 8 corner gathers
@@ -238,10 +234,10 @@ def _sample_volume_interp(vol, pos_vox, size, nan_sub, streams: int = 1):
             l = vc & 7
             row = (b[..., 0] * B + b[..., 1]) * B + b[..., 2]
             col = l[..., 0] + l[..., 1] * 8 + l[..., 2] * 64
-            val = _gather2(vol, row, col, streams)
+            val = _gather2(vol, row, col)
         else:
             val = _gather2(vol.reshape(vol.shape[0], -1), vc[..., 0],
-                           vc[..., 1] * vol.shape[2] + vc[..., 2], streams)
+                           vc[..., 1] * vol.shape[2] + vc[..., 2])
         val = jnp.where(inb & ~jnp.isnan(val), val, jnp.float32(nan_sub))
         w = (jnp.where(off[0] == 1, frac[..., 0], 1.0 - frac[..., 0])
              * jnp.where(off[1] == 1, frac[..., 1], 1.0 - frac[..., 1])
@@ -250,27 +246,9 @@ def _sample_volume_interp(vol, pos_vox, size, nan_sub, streams: int = 1):
     return out
 
 
-def _gather2(vol2d, row, col, streams: int = 1):
-    """``vol2d[row, col] -> f32``, optionally as ``streams`` separate
-    gather ops over equal chunks of the flattened index set."""
-    if streams <= 1:
-        return vol2d[row, col].astype(jnp.float32)
-    shape = row.shape
-    r = row.reshape(-1)
-    c = col.reshape(-1)
-    m = r.shape[0]
-    chunk = -(-m // streams)
-    pad = chunk * streams - m
-    if pad:
-        r = jnp.concatenate([r, jnp.zeros((pad,), r.dtype)])
-        c = jnp.concatenate([c, jnp.zeros((pad,), c.dtype)])
-    parts = [vol2d[r[j * chunk:(j + 1) * chunk],
-                   c[j * chunk:(j + 1) * chunk]].astype(jnp.float32)
-             for j in range(streams)]
-    out = jnp.concatenate(parts)
-    if pad:
-        out = out[:m]
-    return out.reshape(shape)
+def _gather2(vol2d, row, col):
+    """``vol2d[row, col] -> f32`` (one gather op)."""
+    return vol2d[row, col].astype(jnp.float32)
 
 
 def _splat_bounds(m: VoxelMap, field, view, H: int, W: int,
@@ -378,7 +356,7 @@ class _Fine(NamedTuple):
 
 
 def _fine_scan(m, dense, field, origin, dirs, z_start, span, n_samples,
-               active, streams: int = 1):
+               active):
     """Phase 2: fine first-crossing detection across a bracket.
 
     Reference semantics: only transitions between *valid* samples count
@@ -401,8 +379,7 @@ def _fine_scan(m, dense, field, origin, dirs, z_start, span, n_samples,
     z = z_start[None] + dz * jnp.arange(F, dtype=jnp.float32) \
         .reshape(stepshape)
     pos = (origin + dirs[None] * z[..., None]) * inv_vs
-    f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan,
-                          streams=streams)   # [F, *rays]
+    f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan)   # [F, *rays]
     ok = ~jnp.isnan(f)
 
     # Forward-fill of "last valid sample was outside" WITHOUT a gather:
@@ -455,7 +432,6 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
             scan_stride: float = 0.5,
             midsolve: bool = False,
             near_rescue: bool = True,
-            gather_streams: int = 1,
             grad_decim: int = 1,
             full_res_scan: bool = False) -> RaycastResult:
     """Full raycastKernel (`rendering.cpp:50-90`): vertex + normal maps.
@@ -471,9 +447,10 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     instead of 6, same taps; pass ``grad_table`` from the pipeline
     cache, else it is built here); "hybrid" = half-res 6-tap gradient
     with a per-pixel along-ray
-    correction from the refine samples (1/4 the gradient taps); "image" /
-    "forward3" = cheaper variants kept as documented negative results
-    (they break the ICP solve).
+    correction from the refine samples (1/4 the gradient taps); "exact" =
+    the reference's trilinearly-blended gradient (quality mode).
+    Cheaper variants that broke the ICP solve ("image", "forward3") live
+    in ``pipeline/experimental.py`` with their measurements.
 
     ``refine``: full-res re-solve flavour when the fine scan ran at half
     resolution.  "secant" = `_refine`'s 2-sample field re-solve (the
@@ -556,7 +533,7 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         t1 = sl(t1, r0 // f, nr // f)
 
     f1 = _fine_scan(m, dense, field, origin, fd, z_start, fine_span,
-                    n_fine, active, streams=gather_streams)
+                    n_fine, active)
 
     # second window: surfaces deeper than the nearest splatted block (e.g.
     # a wall behind a grazed silhouette block).  Only rays whose splatted
@@ -579,7 +556,7 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         fd2 = fd.reshape(-1, 3)[sel]
         zs2 = (z_start + fine_span).reshape(-1)[sel]
         f2 = _fine_scan(m, dense, field, origin, fd2, zs2, fine_span,
-                        n_fine, idx >= 0, streams=gather_streams)
+                        n_fine, idx >= 0)
         tgt = jnp.where(idx >= 0, idx, n_rays)
         hit2 = jnp.zeros((n_rays,), bool).at[tgt].set(f2.hit, mode="drop") \
             .reshape(f1.hit.shape)
@@ -598,7 +575,7 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         # otherwise straddle the band edge and re-solve between clamped
         # values).
         z_hit = _midsolve(m, dense, field, origin, fd, z_hit, hit,
-                          0.35 * thickness, streams=gather_streams)
+                          0.35 * thickness)
 
     z_half, hit_half = z_hit, hit          # pre-upsample (hybrid normals)
     ref_extras = None
@@ -643,7 +620,7 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
                                   if c.name == field.select_channel)
             z_hit, hit, rf_lo, rf_hi, rf_pair = _refine(
                 m, dense, field, origin, dirs, z_hit, hit, delta,
-                interp_sub=interp_sub, streams=gather_streams)
+                interp_sub=interp_sub)
             ref_extras = (rf_lo, rf_hi, rf_pair, delta)
 
     vertex = origin + dirs * z_hit[..., None]
@@ -676,14 +653,13 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         vert_h = origin + fd * z_half[..., None]
         gd = int(grad_decim)
         if gd > 1 and vert_h.shape[0] % gd == 0 and vert_h.shape[1] % gd == 0:
-            g_q = _grad6(m, dense, field, vert_h[::gd, ::gd],
-                         streams=gather_streams) * m.inverse_voxel_size
+            g_q = _grad6(m, dense, field, vert_h[::gd, ::gd]) \
+                * m.inverse_voxel_size
             g_h = jnp.repeat(jnp.repeat(g_q, gd, 0), gd, 1)
             grad_ok_h = jnp.repeat(jnp.repeat(hit_half[::gd, ::gd], gd, 0),
                                    gd, 1)
         else:
-            g_h = _grad6(m, dense, field, vert_h,
-                         streams=gather_streams) * m.inverse_voxel_size
+            g_h = _grad6(m, dense, field, vert_h) * m.inverse_voxel_size
             grad_ok_h = jnp.ones_like(hit_half)
         up3 = lambda a: jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)
         g_m = up3(g_h)
@@ -712,25 +688,18 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
         gn = jnp.linalg.norm(g_, axis=-1, keepdims=True)
         normal = g_ / jnp.maximum(gn, 1e-12)
         bad = ~hit | (gn[..., 0] == 0)
-    elif normals == "image":
-        normal, bad = _image_normals(vertex, hit, dirs)
-    elif normals == "forward3":
-        # 3-tap forward difference: the solved vertex sits at the surface
-        # (f = boundary by construction), so grad_i ~ (f(x+e_i) - boundary)
-        # / h with 3 gathered descriptors instead of 6
-        g_ = _grad3(m, dense, field, vertex)
-        if field.invert_normals:
-            g_ = -g_
-        gn = jnp.linalg.norm(g_, axis=-1, keepdims=True)
-        normal = g_ / jnp.maximum(gn, 1e-12)
-        bad = ~hit | (gn[..., 0] == 0)
+    elif normals not in ("volume", "hybrid"):
+        # ("hybrid" without a half-res scan falls through to the full-res
+        # 6-tap gradient — same taps, no half-res grid to decimate)
+        raise ValueError(f"unknown normals mode {normals!r} (rejected "
+                         "variants live in pipeline/experimental.py)")
     else:
         # normals: 6-tap central difference at the hit (the reference's
         # trilinear-blended grad `octree.hpp:566-737` reduces to this at
         # voxel resolution; full interp-grad remains via octree.grad).
         # Full-res on purpose: 2x2-shared normals measurably degrade the
         # ICP point-to-plane solve (ATE 2.3 -> 4.0 cm).
-        g_ = _grad6(m, dense, field, vertex, streams=gather_streams)
+        g_ = _grad6(m, dense, field, vertex)
         if field.invert_normals:
             g_ = -g_
         gn = jnp.linalg.norm(g_, axis=-1, keepdims=True)
@@ -743,79 +712,8 @@ def raycast(m: VoxelMap, field, view: jnp.ndarray, H: int, W: int,
     return RaycastResult(vertex=vertex, normal=normal, t_hit=t_hit)
 
 
-def warp_maps(vertex, normal, view, H: int, W: int):
-    """Forward-warp world-space reference maps to a new viewpoint.
-
-    ``view`` = K @ inv(new_pose).  Splats every valid map point into the
-    new image plane with a z-buffer (scatter-min), then scatters the
-    winners' 6-wide vertex+normal rows in one fat-row scatter.  Pixels no
-    point lands on (disocclusions, frame borders entering view) stay
-    invalid and are skipped by the ICP association (result -3), exactly
-    like raycast misses.
-
-    This is the TPU-native stand-in for re-raycasting the model every
-    frame (`DenseSLAMSystem.cpp:191-204`) when ``raycast_rate`` skips a
-    frame: 3 x H*W random-access descriptors (~2-3 ms at 320x240 on v5e)
-    versus a full sweep raycast (~11 ms).
-
-    MEASURED NEGATIVE for ICP tracking quality (off by default,
-    bench_data/ate_icp_256_stored_rr*w records): warped maps track WORSE
-    than simply keeping the stale maps (rr2 -z1: 2.66 stale vs 4.01 cm
-    warped; rr2 -z4: 4.16 vs 4.21) — the association then composes two
-    nearest-pixel quantizations (splat binning + lookup binning) and
-    loses constraints to splat holes, which costs more than the fresher
-    viewpoint buys.  The rr-ATE loss itself is NOT viewpoint staleness
-    (warp fixes that and recovers nothing): tracking several frames
-    against the same reference point set simply re-anchors less often.
-    The kernel remains useful for free-view preview rendering at
-    interactive rates.
-    """
-    HW = H * W
-    v = vertex.reshape(HW, 3)
-    n = normal.reshape(HW, 3)
-    p = camera.transform_points(view, v)
-    z = p[:, 2]
-    valid = (n[:, 0] != INVALID) & (z > 1e-4) & jnp.isfinite(z)
-    zsafe = jnp.where(valid, z, 1.0)
-    # same nearest-pixel convention as the ICP association (_project)
-    ix = jnp.floor(p[:, 0] / zsafe + 0.5).astype(jnp.int32)
-    iy = jnp.floor(p[:, 1] / zsafe + 0.5).astype(jnp.int32)
-    ok = valid & (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-    lin = jnp.where(ok, iy * W + ix, HW)          # HW = dump slot
-
-    zbuf = jnp.full((HW + 1,), jnp.inf, jnp.float32)
-    zbuf = zbuf.at[lin].min(jnp.where(ok, z, jnp.inf))
-    win = ok & (z <= zbuf[lin])
-    rows = jnp.concatenate([v, n], axis=1)
-    buf = jnp.zeros((HW + 1, 6), jnp.float32).at[:, 3].set(INVALID)
-    buf = buf.at[jnp.where(win, lin, HW)].set(rows)
-    out = buf[:HW]
-    return out[:, :3].reshape(H, W, 3), out[:, 3:].reshape(H, W, 3)
-
-
-def _image_normals(vertex, hit, dirs):
-    """Normals from vertex-map central differences (zero volume gathers;
-    the classic KinectFusion vertex2normal on the raycast output).  Oriented
-    toward the camera like the SDF's negated gradient."""
-    pad = lambda a: jnp.pad(a, ((1, 1), (1, 1), (0, 0)), mode="edge")
-    v = pad(vertex)
-    hp = jnp.pad(hit, 1, mode="edge")
-    dx = v[1:-1, 2:] - v[1:-1, :-2]
-    dy = v[2:, 1:-1] - v[:-2, 1:-1]
-    n = jnp.cross(dy, dx)
-    # neighbours must all be hits for a meaningful difference
-    okn = (hp[1:-1, 2:] & hp[1:-1, :-2] & hp[2:, 1:-1] & hp[:-2, 1:-1])
-    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n = n / jnp.maximum(nn, 1e-12)
-    flip = jnp.sum(n * dirs, axis=-1, keepdims=True) > 0
-    n = jnp.where(flip, -n, n)
-    bad = ~hit | ~okn | (nn[..., 0] < 1e-12)
-    return n, bad
-
-
 def _refine(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta,
-            interp_sub=None,
-            streams: int = 1):
+            interp_sub=None):
     """Full-res re-solve of the crossing within +/-delta of ``z_hit``.
 
     Samples the field at z-delta and z+delta per pixel; a valid
@@ -833,9 +731,8 @@ def _refine(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta,
             # surface, kfusion/rendering_impl.hpp:55-57): unobserved taps
             # blend the raw init value, so samples always pair
             return _sample_volume_interp(dense["F"], pos, m.size,
-                                         interp_sub, streams=streams)
-        f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan,
-                              streams=streams)
+                                         interp_sub)
+        f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan)
         return f
 
     f_lo = sample(z_hit - delta)
@@ -855,7 +752,7 @@ def _refine(m: VoxelMap, dense, field, origin, dirs, z_hit, hit, delta,
 
 
 def _midsolve(m: VoxelMap, dense, field, origin, dirs, z_hit, hit,
-              delta, streams: int = 1):
+              delta):
     """Half-res secant correction of the scan's crossing estimate: sample
     at z +/- delta and re-solve the linear crossing when a valid
     outside->inside pair brackets it.  Never drops hits (unlike `_refine`
@@ -865,8 +762,7 @@ def _midsolve(m: VoxelMap, dense, field, origin, dirs, z_hit, hit,
 
     def sample(z):
         pos = (origin + dirs * z[..., None]) * inv_vs
-        f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan,
-                              streams=streams)
+        f, _ = _sample_volume(dense["F"], pos, m.size, jnp.nan)
         return f
 
     f_lo = sample(z_hit - delta)
@@ -880,27 +776,7 @@ def _midsolve(m: VoxelMap, dense, field, origin, dirs, z_hit, hit,
     return jnp.where(crossing, z_new, z_hit)
 
 
-def _grad3(m: VoxelMap, dense, field, pos_world):
-    """Forward-difference gradient from 3 taps at +1 voxel, anchored at the
-    surface value (``field.surf_boundary``); see raycast(normals=...).
-
-    Documented negative result (bench_data): 34.8 fps at 256^3 but ATE
-    12 cm vs 2.2 cm — one-sided derivatives are too noisy for the
-    point-to-plane solve.  Kept for the perf record; default is _grad6."""
-    inv_vs = m.inverse_voxel_size
-    vol = dense["F"]
-    spec = [c for c in m.channels if c.name == field.select_channel][0]
-    base = pos_world * inv_vs
-    grads = []
-    for axis in range(3):
-        e = jnp.zeros((3,)).at[axis].set(1.0)
-        val, _ = _sample_volume(vol, base + e, m.size, spec.empty)
-        grads.append(jnp.nan_to_num(val, nan=spec.init)
-                     - field.surf_boundary)
-    return jnp.stack(grads, axis=-1)
-
-
-def _grad6(m: VoxelMap, dense, field, pos_world, streams: int = 1):
+def _grad6(m: VoxelMap, dense, field, pos_world):
     """Central-difference gradient from 6 nearest-voxel taps (reads the
     NaN-encoded view; NaN taps recover the raw init/empty value).  All six
     taps go through ONE batched gather op."""
@@ -911,8 +787,7 @@ def _grad6(m: VoxelMap, dense, field, pos_world, streams: int = 1):
     offs = jnp.asarray([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
                         [0, -1, 0], [0, 0, 1], [0, 0, -1]], jnp.float32)
     pos6 = base[None] + offs.reshape((6,) + (1,) * (base.ndim - 1) + (3,))
-    vals, _ = _sample_volume(vol, pos6, m.size, spec.empty,
-                             streams=streams)
+    vals, _ = _sample_volume(vol, pos6, m.size, spec.empty)
     vals = jnp.nan_to_num(vals, nan=spec.init)
     g = jnp.stack([vals[0] - vals[1], vals[2] - vals[3],
                    vals[4] - vals[5]], axis=-1)

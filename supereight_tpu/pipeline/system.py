@@ -45,12 +45,6 @@ class FrameState(struct.PyTreeNode):
     #: precomputed per-voxel gradient/value table (gradmap.build_table),
     #: refreshed at integration; None unless raycast_normals == "stored"
     grad: Optional[jnp.ndarray] = None
-    #: pristine maps from the last true raycast — the warp source when
-    #: raycast_warp is on (warping always from the pristine maps bounds
-    #: resampling error to one splat regardless of raycast_rate); None
-    #: unless config.raycast_warp
-    rc_vertex: Optional[jnp.ndarray] = None
-    rc_normal: Optional[jnp.ndarray] = None
     #: incrementally-maintained tiled raycast read view [B^3, 512]
     #: (raycast.pack_view layout); fusion scatters only the rows it
     #: touched (integration.integrate(view=...)) instead of rebuilding
@@ -95,8 +89,6 @@ class DenseSLAMSystem:
                                 partitions=config.map_partitions,
                                 grad_normals=(config.raycast_normals
                                               == "stored"),
-                                warp=(config.raycast_warp and
-                                      config.raycast_rate > 1),
                                 incremental_view=config.incremental_view)
 
         self._step = jax.jit(
@@ -113,8 +105,6 @@ class DenseSLAMSystem:
                 span_factor=config.raycast_span_factor,
                 refine=config.raycast_refine,
                 raycast_rate=config.raycast_rate,
-                warp=config.raycast_warp,
-                lazy_assoc=config.icp_lazy_assoc,
                 finest_decimate=config.icp_finest_decimate,
                 w2_budget=config.raycast_w2_budget,
                 scan_stride=config.raycast_scan_stride,
@@ -124,7 +114,6 @@ class DenseSLAMSystem:
                 midsolve=config.raycast_midsolve,
                 adaptive_deg=config.raycast_adaptive_deg,
                 adaptive_dist=config.raycast_adaptive_dist,
-                gather_streams=config.raycast_gather_streams,
                 integrate_budget=config.integrate_budget,
                 alloc_stride=config.alloc_stride,
                 alloc_rate=config.alloc_rate,
@@ -142,7 +131,6 @@ class DenseSLAMSystem:
                 tracking_stage, field=self.field, iterations=self.iterations,
                 tracking_rate=config.tracking_rate,
                 icp_threshold=config.icp_threshold,
-                lazy_assoc=config.icp_lazy_assoc,
                 finest_decimate=config.icp_finest_decimate),
                 static_argnames=("use_gt", "neg_y")),
             "integration": jax.jit(functools.partial(
@@ -159,7 +147,6 @@ class DenseSLAMSystem:
                 span_factor=config.raycast_span_factor,
                 refine=config.raycast_refine,
                 raycast_rate=config.raycast_rate,
-                warp=config.raycast_warp,
                 w2_budget=config.raycast_w2_budget,
                 scan_stride=config.raycast_scan_stride,
                 grad_decim=config.raycast_grad_decim,
@@ -167,8 +154,7 @@ class DenseSLAMSystem:
                 near_rescue=config.raycast_near_rescue,
                 midsolve=config.raycast_midsolve,
                 adaptive_deg=config.raycast_adaptive_deg,
-                adaptive_dist=config.raycast_adaptive_dist,
-                gather_streams=config.raycast_gather_streams)),
+                adaptive_dist=config.raycast_adaptive_dist)),
         }
 
     # ---- reference-parity accessors ----
@@ -318,7 +304,6 @@ def init_state(size: int, dim: float, field, H: int, W: int,
                init_pose, capacity: Optional[int] = None,
                partitions: int = 1,
                grad_normals: bool = False,
-               warp: bool = False,
                incremental_view: bool = False) -> FrameState:
     m = octree.init(size, dim, field.channels, capacity=capacity,
                     partitions=partitions)
@@ -336,12 +321,6 @@ def init_state(size: int, dim: float, field, H: int, W: int,
         tracked=jnp.zeros((), bool),
         integrated=jnp.zeros((), bool),
         grad=gradmap.empty_table(m.capacity) if grad_normals else None,
-        # distinct buffers, NOT z3/invalid_n: donating a state whose two
-        # leaves share one device buffer is an INVALID_ARGUMENT on TPU
-        # (the bench scan donates the whole FrameState)
-        rc_vertex=jnp.zeros((H, W, 3), jnp.float32) if warp else None,
-        rc_normal=(jnp.zeros((H, W, 3), jnp.float32).at[..., 0]
-                   .set(INVALID)) if warp else None,
         view=raycast.pack_view(m, field)["F"] if incremental_view else None,
     )
 
@@ -365,7 +344,7 @@ def preprocessing_stage(state: FrameState, depth_mm, *,
 
 def tracking_stage(state: FrameState, k, frame, gt_pose, *, field,
                    iterations, tracking_rate, icp_threshold, use_gt: bool,
-                   neg_y: bool, lazy_assoc: bool = False,
+                   neg_y: bool,
                    finest_decimate: int = 1) -> FrameState:
     """tracking() (`DenseSLAMSystem.cpp:143-189`); ground-truth mode
     bypasses ICP like `mainQt.cpp:257-265`."""
@@ -380,7 +359,7 @@ def tracking_stage(state: FrameState, k, frame, gt_pose, *, field,
     new_pose, ok, result = tracking.track(
         state.pose, depths, vertices, normals, state.ref_vertex,
         state.ref_normal, state.raycast_pose, k, iterations, icp_threshold,
-        lazy_assoc=lazy_assoc, finest_decimate=finest_decimate)
+        finest_decimate=finest_decimate)
     return state.replace(
         pose=jnp.where(do_track, new_pose, state.pose),
         tracked=do_track & ok,
@@ -465,7 +444,6 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                      span_factor: float = 1.6,
                      refine: str = "secant",
                      raycast_rate: int = 1,
-                     warp: bool = False,
                      w2_budget: int = 8192,
                      scan_stride: float = 0.5,
                      grad_decim: int = 1,
@@ -473,19 +451,14 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                      midsolve: bool = False,
                      near_rescue: bool = True,
                      adaptive_deg: float = 0.0,
-                     adaptive_dist: float = 0.12,
-                     gather_streams: int = 1) -> FrameState:
+                     adaptive_dist: float = 0.12) -> FrameState:
     """raycasting() (`DenseSLAMSystem.cpp:191-204`): refresh the reference
     model maps from the current pose (only after the bootstrap frames).
 
     ``raycast_rate`` > 1 refreshes every Nth frame only (TPU extension:
     the ICP association already tracks against ``raycast_pose``, so the
     maps may lag the camera by a few frames; bootstrap frames <=5 always
-    refresh so tracking starts from a fresh model).  With ``warp`` the
-    skipped frames forward-warp the last pristine raycast to the current
-    pose (``raycast.warp_maps``) instead of leaving the maps stale, so
-    the ICP association keeps current-viewpoint coverage at a fraction
-    of the raycast cost.
+    refresh so tracking starts from a fresh model).
 
     ``adaptive_deg`` > 0 replaces the fixed schedule with a motion gate:
     refresh once the pose has rotated ``adaptive_deg`` degrees or moved
@@ -505,43 +478,6 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
     elif raycast_rate > 1:
         do_raycast &= ((frame % raycast_rate) == 0) | (frame <= 5)
 
-    if warp and raycast_rate > 1:
-        def raycast_fn(args):
-            m, pose, grad, dv, _rc_v, _rc_n = args
-            view = pose @ camera.inverse_camera_matrix(k)
-            rc = raycast.raycast(m, field, view, H, W, NEAR_PLANE,
-                                 FAR_PLANE, normals=normals,
-                                 dense=None if dv is None else {"F": dv},
-                                 second_window=second_window,
-                                 span_factor=span_factor, grad_table=grad,
-                                 refine=refine, w2_budget=w2_budget,
-                                 scan_stride=scan_stride, midsolve=midsolve,
-                                 near_rescue=near_rescue,
-                                 gather_streams=gather_streams,
-                                 grad_decim=grad_decim,
-                                 full_res_scan=full_res_scan)
-            return rc.vertex, rc.normal, pose
-
-        def warp_fn(args):
-            _m, pose, _grad, _dv, rc_v, rc_n = args
-            view = camera.camera_matrix(k) @ camera.inverse_pose(pose)
-            wv, wn = raycast.warp_maps(rc_v, rc_n, view, H, W)
-            return wv, wn, pose
-
-        # the cond returns only the (possibly warped) reference maps; the
-        # pristine copies update via selects OUTSIDE the cond — returning
-        # the same array twice from a cond branch (aliased outputs) makes
-        # the TPU runtime reject the donated-scan program
-        ref_vertex, ref_normal, raycast_pose = jax.lax.cond(
-            do_raycast, raycast_fn, warp_fn,
-            (state.map, state.pose, state.grad, state.view,
-             state.rc_vertex, state.rc_normal))
-        rc_v = jnp.where(do_raycast, ref_vertex, state.rc_vertex)
-        rc_n = jnp.where(do_raycast, ref_normal, state.rc_normal)
-        return state.replace(rc_vertex=rc_v, rc_normal=rc_n,
-                             ref_vertex=ref_vertex, ref_normal=ref_normal,
-                             raycast_pose=raycast_pose)
-
     def raycast_fn(args):
         m, pose, grad, dv = args
         view = pose @ camera.inverse_camera_matrix(k)
@@ -553,7 +489,6 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                              refine=refine, w2_budget=w2_budget,
                              scan_stride=scan_stride, midsolve=midsolve,
                              near_rescue=near_rescue,
-                             gather_streams=gather_streams,
                              grad_decim=grad_decim,
                              full_res_scan=full_res_scan)
         return rc.vertex, rc.normal, pose
@@ -576,8 +511,6 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   span_factor: float = 1.6,
                   refine: str = "secant",
                   raycast_rate: int = 1,
-                  warp: bool = False,
-                  lazy_assoc: bool = False,
                   finest_decimate: int = 1,
                   w2_budget: int = 8192,
                   scan_stride: float = 0.5,
@@ -590,15 +523,14 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   integrate_patch: int = 16,
                   near_rescue: bool = True,
                   adaptive_deg: float = 0.0,
-                  adaptive_dist: float = 0.12,
-                  gather_streams: int = 1) -> FrameState:
+                  adaptive_dist: float = 0.12) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
     state = tracking_stage(state, k, frame, gt_pose, field=field,
                            iterations=iterations, tracking_rate=tracking_rate,
                            icp_threshold=icp_threshold, use_gt=use_gt,
-                           neg_y=neg_y, lazy_assoc=lazy_assoc,
+                           neg_y=neg_y,
                            finest_decimate=finest_decimate)
     state = integration_stage(state, k, frame, field=field,
                               integration_rate=integration_rate,
@@ -609,11 +541,10 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
     return raycasting_stage(state, k, frame, field=field, normals=normals,
                             second_window=second_window,
                             span_factor=span_factor, refine=refine,
-                            raycast_rate=raycast_rate, warp=warp,
+                            raycast_rate=raycast_rate,
                             w2_budget=w2_budget, scan_stride=scan_stride,
                             midsolve=midsolve, near_rescue=near_rescue,
                             adaptive_deg=adaptive_deg,
                             adaptive_dist=adaptive_dist,
-                            gather_streams=gather_streams,
                             grad_decim=grad_decim,
                             full_res_scan=full_res_scan)

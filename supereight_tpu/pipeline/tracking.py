@@ -133,34 +133,17 @@ class TrackState(NamedTuple):
     iteration: jnp.ndarray     # int32
 
 
-#: lazy re-association: reuse the gathered rows while no projected pixel
-#: has moved more than this many pixels since the last gather
-_REASSOC_PX = 0.5
-
-
 def _level_loop(state: TrackState, n_iters: int, in_vertex, in_normal,
                 ref_vertex, ref_normal, view, icp_threshold,
-                lazy_assoc: bool, psum_axis=None):
+                psum_axis=None):
     """`DenseSLAMSystem.cpp:173-185`: iterate track+reduce+update with early
     exit on ||twist|| < icp_threshold, as one lax.while_loop.
 
-    ``lazy_assoc``: skip the association's 6-wide row gather — the
-    iteration's entire descriptor cost — while every in-frame pixel has
-    moved less than ``_REASSOC_PX`` since the rows were last gathered
-    (the late, sub-pixel Gauss-Newton iterations; residuals/Jacobians are
-    still recomputed densely at the current pose).  Iteration semantics
-    are unchanged from the reference — only provably-(near-)identical
-    gathers are elided.
-
-    MEASURED NEGATIVE (kept off by default, bench_data/ate_icp_256_la
-    records): ATE exactly neutral (the elided gathers really were
-    identical — 1.73 cm, bit-same trajectory), but 40.2 -> 30.5 fps at
-    256^3/-z1 and 56.0 -> 42.2 at -z4 with stored normals: the
-    ``lax.cond`` + extra carries inside the hot while_loop cost this
-    backend far more than the ~77k elided descriptors save.  An
-    unconditional 2-GN-steps-per-association variant was also tried and
-    rejected: halving the association budget doubled the pose error on
-    the synthetic orbit.
+    (An ``icp_lazy_assoc`` variant that elided provably-identical
+    association gathers in the late sub-pixel iterations was measured
+    fps-NEGATIVE — the in-loop ``lax.cond`` + extra carries cost more
+    than the elided descriptors saved; see ``pipeline/experimental.py``
+    and bench_data/ate_icp_256_la records.)
 
     Returns (TrackState, result image at this level's resolution from the
     last executed step) — the reference's trackingResult is likewise the
@@ -174,26 +157,11 @@ def _level_loop(state: TrackState, n_iters: int, in_vertex, in_normal,
         return (st.iteration < n_iters) & ~st.converged
 
     def body(carry):
-        st, _, ref_v, ref_n, px_g, py_g, fresh = carry
+        st, _ = carry
         proj_vertex, px, py, in_frame = _project(st.pose, view, in_vertex,
                                                  rH, rW)
-        if lazy_assoc:
-            moved = jnp.where(in_frame & ~no_in_normal,
-                              jnp.maximum(jnp.abs(px - px_g),
-                                          jnp.abs(py - py_g)), 0.0)
-            need = ~fresh | (jnp.max(moved) > _REASSOC_PX)
-
-            def regather(_):
-                rv, rn = _gather_ref(ref_vertex, ref_normal, px, py,
-                                     rH, rW)
-                return rv, rn, px, py
-
-            ref_v, ref_n, px_g, py_g = jax.lax.cond(
-                need, regather,
-                lambda _: (ref_v, ref_n, px_g, py_g), None)
-        else:
-            ref_v, ref_n = _gather_ref(ref_vertex, ref_normal, px, py,
-                                       rH, rW)
+        ref_v, ref_n = _gather_ref(ref_vertex, ref_normal, px, py,
+                                   rH, rW)
         proj_normal = camera.rotate_vectors(st.pose, in_normal)
         td = _residuals(proj_vertex, proj_normal, ref_v, ref_n, in_frame,
                         no_in_normal, DIST_THRESHOLD, NORMAL_THRESHOLD)
@@ -210,19 +178,13 @@ def _level_loop(state: TrackState, n_iters: int, in_vertex, in_normal,
         converged = jnp.linalg.norm(x) < icp_threshold
         return (TrackState(pose=pose, error2=error2, count=count,
                            converged=converged, iteration=st.iteration + 1),
-                td.result, ref_v, ref_n, px_g, py_g,
-                jnp.ones((), bool))
+                td.result)
 
     lshape = in_vertex.shape[:-1]
     init = (state._replace(converged=jnp.zeros((), bool),
                            iteration=jnp.zeros((), jnp.int32)),
-            jnp.zeros(lshape, jnp.int32),
-            jnp.zeros(lshape + (3,), ref_vertex.dtype),
-            jnp.zeros(lshape + (3,), ref_normal.dtype),
-            jnp.zeros(lshape, jnp.float32),
-            jnp.zeros(lshape, jnp.float32),
-            jnp.zeros((), bool))
-    st, result = jax.lax.while_loop(cond, body, init)[:2]
+            jnp.zeros(lshape, jnp.int32))
+    st, result = jax.lax.while_loop(cond, body, init)
     return st, result
 
 
@@ -230,7 +192,6 @@ def track(pose, depths, vertices, normals, ref_vertex, ref_normal,
           raycast_pose, k, iterations: Sequence[int],
           icp_threshold: float,
           track_threshold: float = TRACK_THRESHOLD,
-          lazy_assoc: bool = False,
           finest_decimate: int = 1,
           shard=None):
     """Full coarse-to-fine tracking (`DenseSLAMSystem.cpp:143-189`).
@@ -283,7 +244,7 @@ def track(pose, depths, vertices, normals, ref_vertex, ref_normal,
                     n_px = rows * iv.shape[1]
         st, result = _level_loop(st, iterations[level], iv, inm,
                                  ref_vertex, ref_normal,
-                                 view, icp_threshold, lazy_assoc,
+                                 view, icp_threshold,
                                  psum_axis=psum_axis)
 
     # divergence check (`tracking.cpp:320-336`); pixel fraction over the

@@ -240,6 +240,19 @@ class TestInterpMultiscale:
         b = float(octree.interp_multiscale(m, "v", pos)[0])
         assert a == b
 
+    def test_volume_facade_exposes_it(self):
+        """Volume.interp_multiscale: the metric-space entry point (the
+        reference's interp descends coarse octants via interp_gather)."""
+        from supereight_tpu.core.volume import Volume
+        m = alloc_voxels(make_map(), [[8, 8, 8]])
+        m = octree.set_voxels(m, "v", jnp.array([9]), jnp.array([9]),
+                              jnp.array([9]), jnp.array([4.0]))
+        vol = Volume(m, "v")
+        pos_m = jnp.asarray([[9.0, 9.0, 9.0]]) * m.voxel_size
+        a = float(vol.interp(pos_m)[0])
+        b = float(vol.interp_multiscale(pos_m)[0])
+        assert a == b
+
 
 class TestUnpackDense:
     def test_pack_unpack_roundtrip(self):

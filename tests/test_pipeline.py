@@ -138,29 +138,6 @@ class TestSDFPipeline:
         # raycast_pose is unbounded there — reference bootstrap semantics)
         assert max(lags[3:]) <= 0.12 + 1e-6
 
-    def test_raycast_rate_2_warp_tracks(self, run):
-        """raycast_rate=2 + raycast_warp: skipped frames forward-warp the
-        pristine maps to the current pose, so raycast_pose matches pose on
-        EVERY frame while tracking stays within the same gate."""
-        slam, states, poses, depths = run
-        cfg = Configuration(volume_resolution=(128,) * 3,
-                            volume_size=(DIM,) * 3, pyramid=(4, 3, 2),
-                            block_capacity=4096, integration_rate=1,
-                            raycast_rate=2, raycast_warp=True)
-        s2 = DenseSLAMSystem((H, W), cfg)
-        s2.setPose(poses[0])
-        for i in range(8):
-            st = s2.step(depths[i], K4, i)
-        assert bool(st.tracked)
-        err = np.linalg.norm(np.asarray(st.pose)[:3, 3] - poses[-1][:3, 3])
-        assert err < 0.1
-        # warp refreshes the viewpoint every frame: raycast_pose == pose
-        np.testing.assert_allclose(np.asarray(st.raycast_pose),
-                                   np.asarray(st.pose), atol=1e-6)
-        # warped maps keep usable coverage on the skipped (odd) frame
-        rn = np.asarray(st.ref_normal)
-        assert (rn[..., 0] != -2.0).mean() > 0.5
-
     def test_icp_finest_decimate_tracks(self, run):
         """icp_finest_decimate=2 (stride-2 finest ICP level): tracks to the
         same gate; the status image stays full-res for renderTrack."""
@@ -177,25 +154,6 @@ class TestSDFPipeline:
         err = np.linalg.norm(np.asarray(st.pose)[:3, 3] - poses[-1][:3, 3])
         assert err < 0.1
         assert st.track_result.shape == (H, W)
-
-    def test_lazy_assoc_icp_converges(self, run):
-        """icp_lazy_assoc (sub-pixel iterations reuse the association
-        gather) must track the same sequence to the same gate as plain
-        ICP — the elided gathers are within 0.5 px of the reused rows."""
-        slam_b, states, poses, depths = run
-        cfg = Configuration(volume_resolution=(128,) * 3,
-                            volume_size=(DIM,) * 3, pyramid=(4, 3, 2),
-                            block_capacity=4096, integration_rate=1,
-                            icp_lazy_assoc=True)
-        slam = DenseSLAMSystem((H, W), cfg)
-        slam.setPose(poses[0])
-        for i in range(8):
-            st = slam.step(depths[i], K4, i)
-        assert bool(st.tracked)
-        err = np.linalg.norm(np.asarray(st.pose)[:3, 3] - poses[-1][:3, 3])
-        base = np.linalg.norm(
-            np.asarray(states[-1].pose)[:3, 3] - poses[-1][:3, 3])
-        assert err < max(0.1, 1.5 * base)
 
     def test_groundtruth_mode_bypasses_icp(self, run):
         depths, poses = make_seq(4, sweep=0.03)

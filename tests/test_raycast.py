@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from supereight_tpu.core import octree
 from supereight_tpu.fields import make_field
-from supereight_tpu.pipeline import camera, raycast
+from supereight_tpu.pipeline import camera, experimental, raycast
 
 DIM = 4.8
 SIZE = 64
@@ -204,8 +204,10 @@ class TestCrossingExactness:
 
 
 class TestWarpMaps:
-    """Forward-warp of reference maps (`raycast.warp_maps`) — the cheap
-    viewpoint refresh used by raycast_rate>1 + raycast_warp."""
+    """Forward-warp of reference maps (`experimental.warp_maps`) — a
+    measured-negative tracking variant quarantined to
+    pipeline/experimental.py; the kernel itself must stay correct (it is
+    still useful for free-view preview rendering)."""
 
     def _make_maps(self, H=48, W=64):
         fx, fy, cx, cy = 50.0, 50.0, W / 2.0, H / 2.0
@@ -230,7 +232,7 @@ class TestWarpMaps:
     def test_identity_warp_reproduces_maps(self):
         vw, nw, T, k, H, W = self._make_maps()
         view = camera.camera_matrix(k) @ camera.inverse_pose(T)
-        wv, wn = raycast.warp_maps(vw, nw, view, H, W)
+        wv, wn = experimental.warp_maps(vw, nw, view, H, W)
         np.testing.assert_allclose(np.asarray(wv), np.asarray(vw),
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(wn), np.asarray(nw),
@@ -243,7 +245,7 @@ class TestWarpMaps:
         T2 = np.asarray(T).copy()
         T2[:3, 3] += [0.05, 0.02, -0.04]
         view = camera.camera_matrix(k) @ camera.inverse_pose(jnp.asarray(T2))
-        wv, wn = raycast.warp_maps(vw, nw, view, H, W)
+        wv, wn = experimental.warp_maps(vw, nw, view, H, W)
         wv_n, wn_n = np.asarray(wv), np.asarray(wn)
         valid = wn_n[..., 0] != -2.0
         assert valid.mean() > 0.7
@@ -265,23 +267,6 @@ class TestWarpMaps:
         py = np.floor(pc[:, 1] / pc[:, 2] + 0.5).astype(int)
         iy, ix = np.nonzero(valid)
         assert (px == ix).all() and (py == iy).all()
-
-
-def test_gather_streams_equivalence():
-    """streams>1 splits the sample gather into separate ops without
-    changing values (bench_data/stream_probe.json: the split is a ~4x
-    on-chip win at shipping shapes)."""
-    import numpy as np
-    import jax.numpy as jnp
-    from supereight_tpu.pipeline.raycast import _sample_volume
-
-    rng = np.random.default_rng(5)
-    vol = jnp.asarray(rng.standard_normal((64, 512)), jnp.float32)
-    pos = jnp.asarray(rng.uniform(-4, 36, (7, 11, 3)), jnp.float32)
-    a, ia = _sample_volume(vol, pos, 32, jnp.nan, streams=1)
-    b, ib = _sample_volume(vol, pos, 32, jnp.nan, streams=4)
-    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), equal_nan=True)
 
 
 def test_trilinear_sampler_matches_octree_interp():
