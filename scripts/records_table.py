@@ -73,6 +73,10 @@ def knobs(rec: dict) -> str:
         parts.append("gt")
     if rec.get("bilateral"):
         parts.append("bf")
+    if rec.get("sync_fetch"):
+        parts.append("syncfetch")
+    if rec.get("chunk", 16) != 16:
+        parts.append(f"ck{rec['chunk']}")
     seq = rec.get("sequence", "synthetic_256_frames")
     if seq != "synthetic_256_frames":
         parts.append("[" + seq.replace("synthetic_256_frames_", "") + "]")
