@@ -70,6 +70,9 @@ def main():
         if "--scan-stride" in sys.argv else 0.5
     midsolve = "--midsolve" in sys.argv
     near_rescue = "--no-rescue" not in sys.argv
+    # occupancy only: disable the coarse-zone ray decimation in the
+    # allocation march (A/B against the exact full-ray march)
+    coarse_alloc = "--exact-coarse-alloc" not in sys.argv
 
     # default-flags noise regime (VERDICT r3 item 3): `--bilateral` with
     # no explicit config knobs selects the noise-validated stack exactly
@@ -148,7 +151,8 @@ def main():
                            alloc_rate=alloc_rate, grad_decim=grad_decim,
                            full_res_scan=full_res_scan,
                            scan_stride=scan_stride, midsolve=midsolve,
-                           near_rescue=near_rescue)
+                           near_rescue=near_rescue,
+                           coarse_alloc=coarse_alloc)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -235,6 +239,7 @@ def main():
         "near_rescue": near_rescue,
         "chunk": CHUNK,
         "sync_fetch": sync_fetch,
+        "coarse_alloc": coarse_alloc,
         "auto_noise_regime": auto_regime,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
@@ -289,6 +294,8 @@ def main():
             mode += "m"
     if alloc_rate > 1:
         mode += f"_ar{alloc_rate}"
+    if not coarse_alloc:
+        mode += "_eca"
     if grad_decim > 1:
         mode += f"_gd{grad_decim}"
     if inc_view:

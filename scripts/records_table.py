@@ -49,6 +49,8 @@ def knobs(rec: dict) -> str:
         parts.append(f"as{rec['alloc_stride']:g}")
     if rec.get("alloc_rate", 1) != 1:
         parts.append(f"ar{rec['alloc_rate']}")
+    if not rec.get("coarse_alloc", True):
+        parts.append("eca")
     if rec.get("grad_decim", 1) != 1:
         parts.append(f"gd{rec['grad_decim']}")
     if rec.get("integrate_patch", 16) != 16:

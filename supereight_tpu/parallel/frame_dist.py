@@ -220,9 +220,12 @@ def make_process_frame_sharded(
             if "alloc" in _skip:
                 m1 = m0
             elif field.multiscale_alloc:
+                # same dither phase as the single-device frame
+                # (replicated frame counter), so 1-vs-8 stays bit-exact
+                fire_every = max(alloc_rate, integration_rate, 1)
                 masks = integration.ofusion_wanted_masks(
                     m0, st.float_depth, st.pose, K, band,
-                    row_share=(dev, n_dev))
+                    row_share=(dev, n_dev), phase=frame // fire_every)
                 masks = [jax.lax.psum(mk.astype(jnp.int32), axis) > 0
                          for mk in masks]
                 masks = [mk & alloc_gate for mk in masks]

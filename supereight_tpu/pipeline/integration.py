@@ -188,7 +188,8 @@ def sdf_wanted_mask(depth, pose, K, *, size: int, dim: float, band: float,
 
 
 def allocate_ofusion(m: VoxelMap, depth, pose, K, band: float,
-                     mips=None) -> VoxelMap:
+                     mips=None, coarse_stride: bool = True,
+                     phase=None) -> VoxelMap:
     """Occupancy multi-scale allocation: the exact distance-adaptive octant
     march of ``buildOctantList`` (`bfusion/alloc_impl.hpp:56-129`),
     vectorized.
@@ -203,17 +204,30 @@ def allocate_ofusion(m: VoxelMap, depth, pose, K, band: float,
     is accepted for API compatibility and unused.
     """
     del mips
-    masks = ofusion_wanted_masks(m, depth, pose, K, band)
+    masks = ofusion_wanted_masks(m, depth, pose, K, band,
+                                 coarse_stride=coarse_stride, phase=phase)
     return octree.allocate_octant_masks(m, masks)
 
 
 def ofusion_wanted_masks(m: VoxelMap, depth, pose, K, band: float,
-                         row_share=None) -> List[jnp.ndarray]:
+                         row_share=None, coarse_stride: bool = True,
+                         phase=None) -> List[jnp.ndarray]:
     """Per-level dense octant-request masks for the occupancy march (the
     mask-producing core of :func:`allocate_ofusion`; separated so the
     sharded frame can psum-merge per-device partial masks).  ``row_share``
     as in :func:`sdf_wanted_mask`: round-robin ray-row ownership whose OR
-    reproduces the full-frame masks exactly."""
+    reproduces the full-frame masks exactly.
+
+    ``coarse_stride``: the mid/far zones request 16/32-voxel octants whose
+    pixel footprint is 2-4x a block's, so their rays march at total pixel
+    stride 2 (the zone-3 march dominated the allocation firing's
+    descriptor cost at 512^3; a fixed stride-4 grid measured +0.75 cm ATE
+    at both 256^3 and 512^3 — thinned free-space carve degrades raycast
+    coverage — so the stride is capped at 2).  ``phase`` (traced int32,
+    usually the allocation firing index) rotates the stride-2 grid
+    through its 4 offsets across firings: carve is cumulative, so the
+    union over any 4 consecutive firings reproduces the full-ray march's
+    coverage.  ``phase=None`` pins offset (0, 0)."""
     from .constants import FAR_PLANE
     decim = _alloc_decimation(m, depth.shape)
     d, vertex, direction, dist, _ = _pixel_rays(depth, pose, K, decim)
@@ -231,22 +245,56 @@ def ofusion_wanted_masks(m: VoxelMap, depth, pose, K, band: float,
         jnp.zeros((1 << l,) * 3, bool) for l in range(block_level + 1)
     ]
 
-    def scatter_zone(level, travelled, extra_ok=None):
+    fx_min = depth.shape[1] / 3.0
+
+    def zone_stride(level):
+        """Extra ray stride for a coarse zone: 2 when the octant's
+        far-plane footprint is >= 4 px (the `_alloc_decimation`
+        criterion) and the ray grid is not already strided."""
+        if not coarse_stride or decim > 1:
+            return 1
+        edge_m = float((1 << (m.max_depth - level)) * vs)
+        foot = edge_m * fx_min / FAR_PLANE
+        return 2 if foot >= 4.0 else 1
+
+    def scatter_zone(level, travelled, extra_ok=None, stride=1):
         """Scatter samples at ``origin + travelled*dir`` (travelled
-        [..., n]) into the level's request mask."""
+        [..., n]) into the level's request mask.  ``stride`` subsamples
+        the ray grid (coarse zones only), rotating the grid offset with
+        ``phase`` when given."""
         n = 1 << level
         shift = m.max_depth - level
-        pts = origin[..., None, :] + direction[..., None, :] \
-            * travelled[..., None]
-        vox = jnp.floor(pts * inv_vs).astype(jnp.int32)
-        oc = vox >> shift
-        ok = ok0[..., None] & (vox >= 0).all(-1) & (vox < m.size).all(-1)
-        ok = ok & (travelled < dist[..., None])
-        if extra_ok is not None:
-            ok = ok & extra_ok
-        oc = jnp.clip(oc, 0, n - 1).reshape(-1, 3)
-        masks[level] = masks[level].at[
-            oc[:, 0], oc[:, 1], oc[:, 2]].max(ok.reshape(-1))
+
+        def scatter_at(mask, oy, ox):
+            if stride > 1:
+                H2, W2 = origin.shape[:2]
+                ny, nx = (H2 - 1) // stride, (W2 - 1) // stride
+                sl = (slice(oy, oy + ny * stride, stride),
+                      slice(ox, ox + nx * stride, stride))
+            else:
+                sl = (slice(None), slice(None))
+            org, dr = origin[sl], direction[sl]
+            okz, dst = ok0[sl], dist[sl]
+            trv = travelled[sl]
+            xok = extra_ok[sl] if extra_ok is not None else None
+            pts = org[..., None, :] + dr[..., None, :] * trv[..., None]
+            vox = jnp.floor(pts * inv_vs).astype(jnp.int32)
+            oc = vox >> shift
+            ok = okz[..., None] & (vox >= 0).all(-1) & (vox < m.size).all(-1)
+            ok = ok & (trv < dst[..., None])
+            if xok is not None:
+                ok = ok & xok
+            oc = jnp.clip(oc, 0, n - 1).reshape(-1, 3)
+            return mask.at[oc[:, 0], oc[:, 1], oc[:, 2]].max(ok.reshape(-1))
+
+        if stride > 1 and phase is not None:
+            offs = [(0, 0), (0, 1), (1, 0), (1, 1)]
+            masks[level] = jax.lax.switch(
+                jnp.asarray(phase, jnp.int32) % 4,
+                [functools.partial(scatter_at, oy=oy, ox=ox)
+                 for oy, ox in offs], masks[level])
+        else:
+            masks[level] = scatter_at(masks[level], 0, 0)
 
     # zone 1: voxel steps through the band -> blocks
     n1 = max(int(np.ceil(band * inv_vs)), 1)
@@ -267,14 +315,16 @@ def ofusion_wanted_masks(m: VoxelMap, depth, pose, K, band: float,
     n2 = max(int(np.ceil(0.5 * band / step_mid)), 1)
     t2 = band + step_mid * jnp.arange(n2, dtype=jnp.float32)
     scatter_zone(lvl_mid, jnp.broadcast_to(t2, d.shape + (n2,)),
-                 extra_ok=jnp.broadcast_to(t2 < 1.5 * band, d.shape + (n2,)))
+                 extra_ok=jnp.broadcast_to(t2 < 1.5 * band, d.shape + (n2,)),
+                 stride=zone_stride(lvl_mid))
 
     # zone 3: 30-voxel steps to the camera
     t3_start = band + n2 * step_mid
     max_travel = 1.42 * FAR_PLANE + band   # frustum-diagonal bound
     n3 = max(int(np.ceil((max_travel - t3_start) / step_far)), 1)
     t3 = t3_start + step_far * jnp.arange(n3, dtype=jnp.float32)
-    scatter_zone(lvl_far, jnp.broadcast_to(t3, d.shape + (n3,)))
+    scatter_zone(lvl_far, jnp.broadcast_to(t3, d.shape + (n3,)),
+                 stride=zone_stride(lvl_far))
 
     return masks
 

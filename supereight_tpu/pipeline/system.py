@@ -371,7 +371,8 @@ def integration_stage(state: FrameState, k, frame, *, field,
                       integrate_budget: int = 0,
                       alloc_stride: float = 1.0,
                       alloc_rate: int = 1,
-                      integrate_patch: int = 16) -> FrameState:
+                      integrate_patch: int = 16,
+                      coarse_alloc: bool = True) -> FrameState:
     """integration() (`DenseSLAMSystem.cpp:206-268`): integrates when
     tracked or during the bootstrap frames.  When the state carries a
     gradient table (raycast_normals == "stored") it is rebuilt here — the
@@ -391,8 +392,15 @@ def integration_stage(state: FrameState, k, frame, *, field,
 
         def alloc_fn(mm):
             if field.multiscale_alloc:
+                # firing index (frames between allocation firings is
+                # max(alloc_rate, integration_rate)) rotates the coarse
+                # march's dither phase — consecutive firings cover
+                # complementary stride-2 ray grids
+                fire_every = max(alloc_rate, integration_rate, 1)
                 return integration.allocate_ofusion(mm, float_depth, pose,
-                                                    K, band)
+                                                    K, band,
+                                                    coarse_stride=coarse_alloc,
+                                                    phase=frame // fire_every)
             return integration.allocate_sdf(mm, float_depth, pose, K, band,
                                             stride=alloc_stride)
 
@@ -523,7 +531,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   integrate_patch: int = 16,
                   near_rescue: bool = True,
                   adaptive_deg: float = 0.0,
-                  adaptive_dist: float = 0.12) -> FrameState:
+                  adaptive_dist: float = 0.12,
+                  coarse_alloc: bool = True) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
@@ -537,7 +546,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                               integrate_budget=integrate_budget,
                               alloc_stride=alloc_stride,
                               alloc_rate=alloc_rate,
-                              integrate_patch=integrate_patch)
+                              integrate_patch=integrate_patch,
+                              coarse_alloc=coarse_alloc)
     return raycasting_stage(state, k, frame, field=field, normals=normals,
                             second_window=second_window,
                             span_factor=span_factor, refine=refine,

@@ -158,6 +158,60 @@ class TestExactOFusionAllocation:
             t += 0.5
 
 
+class TestOFusionCoarseStride:
+    # 128^3 here so the ray grid is undecimated (decim == 1) and the
+    # coarse zones actually stride (at 64^3 decim == 2 disables striding)
+    S128 = 128
+
+    def _masks(self, **kw):
+        depth, pose = _frame()
+        field = make_field("ofusion", mu=0.05, voxel_size=DIM / self.S128)
+        m = octree.init(self.S128, DIM, field.channels, capacity=4096)
+        K = np.asarray(camera.camera_matrix(jnp.asarray(K4)))
+        return integration.ofusion_wanted_masks(
+            m, jnp.asarray(depth), jnp.asarray(pose), jnp.asarray(K),
+            field.alloc_band(), **kw)
+
+    def test_coarse_stride_near_lossless(self):
+        """Stride-2 coarse-zone ray decimation: per-level masks are
+        subsets of the full-ray march, the block level is identical
+        (zone 1 is never strided), and coarse coverage stays
+        near-complete."""
+        exact = self._masks(coarse_stride=False)
+        dec = self._masks()
+        strode = False
+        for lvl, (e, s) in enumerate(zip(exact, dec)):
+            e = np.asarray(e)
+            s = np.asarray(s)
+            assert not (s & ~e).any(), f"level {lvl} inflated"
+            if lvl == len(exact) - 1:
+                np.testing.assert_array_equal(e, s)  # zone 1 untouched
+            elif e.any():
+                strode = strode or s.sum() < e.sum()
+                # coarse octants are 2-4x a block: a sliver can be grazed
+                # only by skipped rays, same class as the SDF decimation
+                assert s.sum() >= 0.85 * e.sum(), \
+                    f"level {lvl}: {int(s.sum())}/{int(e.sum())}"
+        assert strode, "no level actually strided; test scale wrong"
+
+    def test_phase_union_recovers_exact(self):
+        """The 4 dither phases' union reproduces the full-ray march's
+        coarse coverage (carve is cumulative across firings)."""
+        exact = self._masks(coarse_stride=False)
+        union = [np.zeros_like(np.asarray(e)) for e in exact]
+        for p in range(4):
+            for lvl, mk in enumerate(self._masks(phase=jnp.asarray(p))):
+                union[lvl] |= np.asarray(mk)
+        for lvl, (e, u) in enumerate(zip(exact, union)):
+            e = np.asarray(e)
+            assert not (u & ~e).any(), f"level {lvl} inflated"
+            if e.any():
+                # the uniform per-phase grid drops the last row/col of an
+                # odd grid, so allow a vanishing sliver deficit
+                assert u.sum() >= 0.98 * e.sum(), \
+                    f"level {lvl}: union {int(u.sum())}/{int(e.sum())}"
+
+
 class TestIntegrateBudget:
     def test_budgeted_matches_dense(self):
         """integrate(budget=N) with N covering all visible blocks must fuse
