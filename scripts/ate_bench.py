@@ -73,13 +73,25 @@ def main():
     # occupancy only: disable the coarse-zone ray decimation in the
     # allocation march (A/B against the exact full-ray march)
     coarse_alloc = "--exact-coarse-alloc" not in sys.argv
+    # motion-adaptive alloc gate (replaces --alloc-rate when set)
+    alloc_adaptive = float(sys.argv[sys.argv.index("--alloc-adaptive") + 1]) \
+        if "--alloc-adaptive" in sys.argv else 0.0
+    alloc_adaptive_dist = \
+        float(sys.argv[sys.argv.index("--alloc-adaptive-dist") + 1]) \
+        if "--alloc-adaptive-dist" in sys.argv else 0.24
+    # data-driven alloc gate: march when > this fraction of valid depth
+    # pixels hits an unallocated block
+    alloc_on_demand = \
+        float(sys.argv[sys.argv.index("--alloc-on-demand") + 1]) \
+        if "--alloc-on-demand" in sys.argv else 0.0
 
     # default-flags noise regime (VERDICT r3 item 3): `--bilateral` with
     # no explicit config knobs selects the noise-validated stack exactly
     # like the benchmark frontend (config.NOISE_REGIME)
     _CONFIG_FLAGS = {"--field", "--normals", "--int-rate", "--no-rescue",
                      "--mu", "--icp-decim", "--int-budget", "--scan-stride",
-                     "--alloc-rate", "--grad-decim", "--inc-view",
+                     "--alloc-rate", "--alloc-adaptive", "--alloc-on-demand",
+                     "--grad-decim", "--inc-view",
                      "--adaptive", "--rc-rate", "--no-fine2",
                      "--refine", "--span", "--midsolve",
                      "--full-res-scan", "--alloc-stride",
@@ -152,7 +164,10 @@ def main():
                            full_res_scan=full_res_scan,
                            scan_stride=scan_stride, midsolve=midsolve,
                            near_rescue=near_rescue,
-                           coarse_alloc=coarse_alloc)
+                           coarse_alloc=coarse_alloc,
+                           alloc_adaptive_deg=alloc_adaptive,
+                           alloc_adaptive_dist=alloc_adaptive_dist,
+                           alloc_on_demand=alloc_on_demand)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -240,6 +255,9 @@ def main():
         "chunk": CHUNK,
         "sync_fetch": sync_fetch,
         "coarse_alloc": coarse_alloc,
+        "alloc_adaptive_deg": alloc_adaptive,
+        "alloc_adaptive_dist": alloc_adaptive_dist,
+        "alloc_on_demand": alloc_on_demand,
         "auto_noise_regime": auto_regime,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
@@ -294,6 +312,10 @@ def main():
             mode += "m"
     if alloc_rate > 1:
         mode += f"_ar{alloc_rate}"
+    if alloc_adaptive > 0:
+        mode += f"_aad{alloc_adaptive:g}x{alloc_adaptive_dist:g}"
+    if alloc_on_demand > 0:
+        mode += f"_aod{alloc_on_demand:g}"
     if not coarse_alloc:
         mode += "_eca"
     if grad_decim > 1:

@@ -49,6 +49,11 @@ def knobs(rec: dict) -> str:
         parts.append(f"as{rec['alloc_stride']:g}")
     if rec.get("alloc_rate", 1) != 1:
         parts.append(f"ar{rec['alloc_rate']}")
+    if rec.get("alloc_adaptive_deg", 0.0) > 0:
+        parts.append(f"aad{rec['alloc_adaptive_deg']:g}"
+                     f"x{rec.get('alloc_adaptive_dist', 0.24):g}")
+    if rec.get("alloc_on_demand", 0.0) > 0:
+        parts.append(f"aod{rec['alloc_on_demand']:g}")
     if not rec.get("coarse_alloc", True):
         parts.append("eca")
     if rec.get("grad_decim", 1) != 1:

@@ -77,6 +77,14 @@ class Configuration:
                                            # Nth frame (fusion still every
                                            # integration frame; new regions
                                            # allocate <=N-1 frames late)
+    alloc_adaptive_deg: float = 0.0        # >0: replace alloc_rate with a
+                                           # motion gate (march once the
+    alloc_adaptive_dist: float = 0.0       # pose rotated deg / moved m
+                                           # since the last march)
+    alloc_on_demand: float = 0.0           # >0: gate the march on data —
+                                           # fire when > this fraction of
+                                           # valid depth pixels hits an
+                                           # unallocated block
     raycast_midsolve: bool = False         # half-res secant re-solve between
                                            # scan and full-res refine (pairs
                                            # with a coarse scan_stride)

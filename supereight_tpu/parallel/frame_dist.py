@@ -115,6 +115,8 @@ def make_process_frame_sharded(
         finest_decimate: int = 1, w2_budget: int = 8192,
         scan_stride: float = 0.5, midsolve: bool = False,
         alloc_stride: float = 1.0, alloc_rate: int = 1,
+        alloc_adaptive_deg: float = 0.0, alloc_adaptive_dist: float = 0.0,
+        alloc_on_demand: float = 0.0,
         grad_decim: int = 1, near_rescue: bool = True,
         adaptive_deg: float = 0.0, adaptive_dist: float = 0.12,
         max_visible_per_device: int = 1024,
@@ -210,22 +212,41 @@ def make_process_frame_sharded(
             T_cw = jnp.linalg.inv(st.pose)
             band = field.alloc_band()
             gate = do_integrate  # replicated predicate; masks, not conds
-            # alloc_rate: skip the march on off frames (masked, so the
-            # collective schedule stays identical on every device)
+            # alloc_rate / the motion-adaptive alloc gate: skip the march
+            # on off frames (masked, so the collective schedule stays
+            # identical on every device)
             alloc_gate = gate
-            if alloc_rate > 1:
+            if alloc_on_demand > 0.0:
+                # data-driven gate: replicated block_index + depth ->
+                # identical predicate on every device
+                frac = integration.unallocated_fraction(
+                    m0, st.float_depth, st.pose, K)
+                alloc_gate = gate & ((frac > alloc_on_demand)
+                                     | (frame <= 5))
+            elif alloc_adaptive_deg > 0.0 and st.alloc_pose is not None:
+                import numpy as _np
+                dRa = st.pose[:3, :3] @ st.alloc_pose[:3, :3].T
+                cos_a = 0.5 * (jnp.trace(dRa) - 1.0)
+                dist_a = jnp.linalg.norm(st.pose[:3, 3]
+                                         - st.alloc_pose[:3, 3])
+                moved_a = (cos_a < float(_np.cos(
+                    _np.radians(alloc_adaptive_deg)))) \
+                    | (dist_a > alloc_adaptive_dist)
+                alloc_gate = gate & (moved_a | (frame <= 5))
+            elif alloc_rate > 1:
                 alloc_gate = gate & (((frame % alloc_rate) == 0)
                                      | (frame <= 5))
+            a_count = st.alloc_count if st.alloc_count is not None \
+                else frame // max(alloc_rate, integration_rate, 1)
 
             if "alloc" in _skip:
                 m1 = m0
             elif field.multiscale_alloc:
                 # same dither phase as the single-device frame
-                # (replicated frame counter), so 1-vs-8 stays bit-exact
-                fire_every = max(alloc_rate, integration_rate, 1)
+                # (replicated firing counter), so 1-vs-8 stays bit-exact
                 masks = integration.ofusion_wanted_masks(
                     m0, st.float_depth, st.pose, K, band,
-                    row_share=(dev, n_dev), phase=frame // fire_every)
+                    row_share=(dev, n_dev), phase=a_count)
                 masks = [jax.lax.psum(mk.astype(jnp.int32), axis) > 0
                          for mk in masks]
                 masks = [mk & alloc_gate for mk in masks]
@@ -264,7 +285,12 @@ def make_process_frame_sharded(
                 m2 = integration._update_nodes(m1, field, st.float_depth,
                                                T_cw, K, timestamp)
                 m1 = jax.tree.map(lambda a, b: jnp.where(gate, b, a), m1, m2)
-            st = st.replace(map=m1, integrated=do_integrate)
+            st = st.replace(
+                map=m1, integrated=do_integrate,
+                alloc_pose=(jnp.where(alloc_gate, st.pose, st.alloc_pose)
+                            if st.alloc_pose is not None else None),
+                alloc_count=(st.alloc_count + alloc_gate.astype(jnp.int32)
+                             if st.alloc_count is not None else None))
 
             # ---- raycast: frustum-limited brick exchange + strip scan ----
             if "raycast" in _skip:

@@ -329,6 +329,25 @@ def ofusion_wanted_masks(m: VoxelMap, depth, pose, K, band: float,
     return masks
 
 
+def unallocated_fraction(m: VoxelMap, depth, pose, K, decim: int = 4):
+    """Fraction of (decimated) valid depth pixels whose surface block is
+    not yet allocated — the firing signal for the on-demand allocation
+    gate (``alloc_on_demand``).  Allocation is idempotent coverage (the
+    carve itself happens in fusion), so the march is needed exactly when
+    the frame shows surface outside the allocated set.  One ``[H/4*W/4]``
+    gather from the replicated ``block_index`` (~5k descriptors at
+    320x240): ~0.1 ms/frame."""
+    d, vertex, _, _, _ = _pixel_rays(depth, pose, K, decim)
+    bc = jnp.floor(vertex * m.inverse_voxel_size).astype(jnp.int32) \
+        >> int(np.log2(BLOCK_SIDE))
+    B = m.blocks_per_edge
+    inside = (bc >= 0).all(-1) & (bc < B).all(-1) & (d > 0)
+    bc = jnp.clip(bc, 0, B - 1)
+    unalloc = (m.block_index[bc[..., 0], bc[..., 1], bc[..., 2]] < 0) \
+        & inside
+    return unalloc.sum() / jnp.maximum(inside.sum(), 1)
+
+
 # ----------------------------------------------------------------------
 # Fusion
 # ----------------------------------------------------------------------

@@ -50,6 +50,11 @@ class FrameState(struct.PyTreeNode):
     #: touched (integration.integrate(view=...)) instead of rebuilding
     #: the whole view every frame.  None => rebuild per frame.
     view: Optional[jnp.ndarray] = None
+    #: pose at the last allocation march + firing counter (the counter
+    #: drives the coarse march's dither phase; the pose anchors the
+    #: motion-adaptive alloc gate, `alloc_adaptive_deg`)
+    alloc_pose: Optional[jnp.ndarray] = None
+    alloc_count: Optional[jnp.ndarray] = None
 
 
 class DenseSLAMSystem:
@@ -117,6 +122,9 @@ class DenseSLAMSystem:
                 integrate_budget=config.integrate_budget,
                 alloc_stride=config.alloc_stride,
                 alloc_rate=config.alloc_rate,
+                alloc_adaptive_deg=config.alloc_adaptive_deg,
+                alloc_adaptive_dist=config.alloc_adaptive_dist,
+                alloc_on_demand=config.alloc_on_demand,
                 integrate_patch=config.integrate_patch,
             ),
             static_argnames=("use_gt", "neg_y"))
@@ -139,6 +147,9 @@ class DenseSLAMSystem:
                 integrate_budget=config.integrate_budget,
                 alloc_stride=config.alloc_stride,
                 alloc_rate=config.alloc_rate,
+                alloc_adaptive_deg=config.alloc_adaptive_deg,
+                alloc_adaptive_dist=config.alloc_adaptive_dist,
+                alloc_on_demand=config.alloc_on_demand,
                 integrate_patch=config.integrate_patch)),
             "raycasting": jax.jit(functools.partial(
                 raycasting_stage, field=self.field,
@@ -322,6 +333,10 @@ def init_state(size: int, dim: float, field, H: int, W: int,
         integrated=jnp.zeros((), bool),
         grad=gradmap.empty_table(m.capacity) if grad_normals else None,
         view=raycast.pack_view(m, field)["F"] if incremental_view else None,
+        # + 0.0 materializes a buffer distinct from pose/raycast_pose
+        # (donation aliasing trap, SKILL round-2 note)
+        alloc_pose=jnp.asarray(init_pose, jnp.float32) + 0.0,
+        alloc_count=jnp.zeros((), jnp.int32),
     )
 
 
@@ -372,39 +387,67 @@ def integration_stage(state: FrameState, k, frame, *, field,
                       alloc_stride: float = 1.0,
                       alloc_rate: int = 1,
                       integrate_patch: int = 16,
-                      coarse_alloc: bool = True) -> FrameState:
+                      coarse_alloc: bool = True,
+                      alloc_adaptive_deg: float = 0.0,
+                      alloc_adaptive_dist: float = 0.0,
+                      alloc_on_demand: float = 0.0) -> FrameState:
     """integration() (`DenseSLAMSystem.cpp:206-268`): integrates when
     tracked or during the bootstrap frames.  When the state carries a
     gradient table (raycast_normals == "stored") it is rebuilt here — the
     field only changes under this cond, so the raycaster's per-frame
-    normal source stays consistent for free between integrations."""
+    normal source stays consistent for free between integrations.
+
+    ``alloc_adaptive_deg`` > 0 replaces the fixed ``alloc_rate`` schedule
+    with a motion gate like the raycast's: march once the pose has
+    rotated/translated past the thresholds since ``state.alloc_pose``.
+
+    ``alloc_on_demand`` > 0 gates the march on the DATA instead: fire
+    when the fraction of valid depth pixels whose surface block is
+    unallocated exceeds the threshold
+    (`integration.unallocated_fraction`).  Allocation is idempotent
+    coverage, so this fires exactly when the frame shows surface outside
+    the allocated set — a fixed rate cannot be right on both a
+    fully-allocated orbit (march wasted) and held-out room geometry
+    whose occlusions keep revealing new surface (measured: ar16 holds
+    2.48 cm on the bench orbit but loses room2 at 40 cm while the
+    every-firing march holds 9.4 cm there)."""
     do_integrate = (state.tracked | (frame <= 3)) & \
         (((frame % integration_rate) == 0) | (frame <= 3))
     K = camera.camera_matrix(k)
     timestamp = (1.0 / 30.0) * frame.astype(jnp.float32)
     float_depth = state.float_depth
     pose = state.pose
+    alloc_count = state.alloc_count if state.alloc_count is not None \
+        else frame // max(alloc_rate, integration_rate, 1)
 
     def integrate_fn(arg):
-        m, grad, view = arg
+        m, grad, view, a_pose, a_count = arg
         band = field.alloc_band()
         live_before = octree.slot_mask(m) if view is not None else None
 
         def alloc_fn(mm):
             if field.multiscale_alloc:
-                # firing index (frames between allocation firings is
-                # max(alloc_rate, integration_rate)) rotates the coarse
-                # march's dither phase — consecutive firings cover
-                # complementary stride-2 ray grids
-                fire_every = max(alloc_rate, integration_rate, 1)
+                # the firing counter rotates the coarse march's dither
+                # phase — consecutive firings cover complementary
+                # stride-2 ray grids
                 return integration.allocate_ofusion(mm, float_depth, pose,
                                                     K, band,
                                                     coarse_stride=coarse_alloc,
-                                                    phase=frame // fire_every)
+                                                    phase=alloc_count)
             return integration.allocate_sdf(mm, float_depth, pose, K, band,
                                             stride=alloc_stride)
 
-        if alloc_rate > 1:
+        if alloc_on_demand > 0.0:
+            frac = integration.unallocated_fraction(m, float_depth, pose, K)
+            do_alloc = (frac > alloc_on_demand) | (frame <= 5)
+        elif alloc_adaptive_deg > 0.0 and state.alloc_pose is not None:
+            dR = pose[:3, :3] @ state.alloc_pose[:3, :3].T
+            cos_ang = 0.5 * (jnp.trace(dR) - 1.0)
+            dist = jnp.linalg.norm(pose[:3, 3] - state.alloc_pose[:3, 3])
+            moved = (cos_ang < float(np.cos(np.radians(alloc_adaptive_deg)))) \
+                | (dist > alloc_adaptive_dist)
+            do_alloc = moved | (frame <= 5)
+        elif alloc_rate > 1:
             # TPU extension: at -z1 the band march + dedupe scatter run
             # every frame (~2 ms) yet consecutive 30 fps frames request
             # near-identical block sets; skipping alternate marches only
@@ -412,9 +455,20 @@ def integration_stage(state: FrameState, k, frame, *, field,
             # still runs every frame on allocated blocks).  Bootstrap
             # frames always allocate.
             do_alloc = ((frame % alloc_rate) == 0) | (frame <= 5)
+        else:
+            do_alloc = None
+        if do_alloc is not None:
             m = jax.lax.cond(do_alloc, alloc_fn, lambda mm: mm, m)
+            if a_pose is not None:
+                a_pose = jnp.where(do_alloc, pose, a_pose)
+            if a_count is not None:
+                a_count = a_count + do_alloc.astype(jnp.int32)
         else:
             m = alloc_fn(m)
+            if a_pose is not None:
+                a_pose = pose
+            if a_count is not None:
+                a_count = a_count + 1
         if view is not None and not field.multiscale_alloc:
             # newly allocated rows flip from the unallocated fill to the
             # fresh-voxel encoding before fusion scatters its updates
@@ -438,11 +492,14 @@ def integration_stage(state: FrameState, k, frame, *, field,
                 view = raycast.pack_view(m, field)["F"]
         if grad is not None:
             grad = gradmap.build_table(m, field)
-        return m, grad, view
+        return m, grad, view, a_pose, a_count
 
-    m, grad, view = jax.lax.cond(do_integrate, integrate_fn, lambda a: a,
-                                 (state.map, state.grad, state.view))
+    m, grad, view, a_pose, a_count = jax.lax.cond(
+        do_integrate, integrate_fn, lambda a: a,
+        (state.map, state.grad, state.view, state.alloc_pose,
+         state.alloc_count))
     return state.replace(map=m, grad=grad, view=view,
+                         alloc_pose=a_pose, alloc_count=a_count,
                          integrated=do_integrate)
 
 
@@ -532,7 +589,10 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   near_rescue: bool = True,
                   adaptive_deg: float = 0.0,
                   adaptive_dist: float = 0.12,
-                  coarse_alloc: bool = True) -> FrameState:
+                  coarse_alloc: bool = True,
+                  alloc_adaptive_deg: float = 0.0,
+                  alloc_adaptive_dist: float = 0.0,
+                  alloc_on_demand: float = 0.0) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
@@ -547,7 +607,10 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                               alloc_stride=alloc_stride,
                               alloc_rate=alloc_rate,
                               integrate_patch=integrate_patch,
-                              coarse_alloc=coarse_alloc)
+                              coarse_alloc=coarse_alloc,
+                              alloc_adaptive_deg=alloc_adaptive_deg,
+                              alloc_adaptive_dist=alloc_adaptive_dist,
+                              alloc_on_demand=alloc_on_demand)
     return raycasting_stage(state, k, frame, field=field, normals=normals,
                             second_window=second_window,
                             span_factor=span_factor, refine=refine,

@@ -212,6 +212,27 @@ class TestOFusionCoarseStride:
                     f"level {lvl}: union {int(u.sum())}/{int(e.sum())}"
 
 
+class TestAllocOnDemand:
+    def test_unallocated_fraction_drops_after_march(self):
+        """The on-demand gate's firing signal: ~1 on an empty map, ~0
+        once the frame's surface blocks are allocated."""
+        depth, pose = _frame()
+        field = make_field("sdf", mu=0.2)
+        m = octree.init(SIZE, DIM, field.channels, capacity=4096)
+        K = np.asarray(camera.camera_matrix(jnp.asarray(K4)))
+        before = float(integration.unallocated_fraction(
+            m, jnp.asarray(depth), jnp.asarray(pose), jnp.asarray(K)))
+        m = integration.allocate_sdf(m, jnp.asarray(depth),
+                                     jnp.asarray(pose), jnp.asarray(K),
+                                     field.alloc_band())
+        after = float(integration.unallocated_fraction(
+            m, jnp.asarray(depth), jnp.asarray(pose), jnp.asarray(K)))
+        assert before > 0.9
+        # decim-4 probe pixels vs decim-2 march: a few sliver pixels may
+        # stay outside the allocated set
+        assert after < 0.05, after
+
+
 class TestIntegrateBudget:
     def test_budgeted_matches_dense(self):
         """integrate(budget=N) with N covering all visible blocks must fuse

@@ -452,6 +452,53 @@ class TestUnifiedShardedFrame:
                                    atol=1e-3)
 
 
+    def test_ofusion_adaptive_alloc_matches_single(self, frames):
+        """The motion-adaptive alloc gate + the coarse march's dither
+        phase counter (alloc_pose / alloc_count state) must fire
+        identically in the sharded frame's masked form and the
+        single-device lax.cond form."""
+        from supereight_tpu.parallel import frame_dist
+
+        poses8 = orbit_poses(8, 4.8, sweep=0.03)
+        depths = [np.clip(np.asarray(render_depth(
+            jnp.asarray(p), jnp.asarray(K4), 4.8, H, W)) * 1000,
+            0, 65535).astype(np.uint16) for p in poses8]
+        cfg = Configuration(volume_resolution=(64,) * 3,
+                            volume_size=(4.8,) * 3, pyramid=(3, 2, 2),
+                            block_capacity=1024, integration_rate=1,
+                            map_partitions=8, field_type="ofusion")
+        knobs = dict(alloc_adaptive_deg=2.0, alloc_adaptive_dist=0.05)
+        slam = DenseSLAMSystem((H, W), cfg)
+        fn = functools.partial(
+            process_frame, field=slam.field, iterations=slam.iterations,
+            tracking_rate=1, integration_rate=1, bilateral=False,
+            icp_threshold=1e-5, use_gt=False, neg_y=False, **knobs)
+        single = run_frames(slam.state, fn, depths)
+
+        slam2 = DenseSLAMSystem((H, W), cfg)
+        mesh = make_mesh(8)
+        st = frame_dist.frame_sharding(mesh)(slam2.state)
+        step = frame_dist.make_process_frame_sharded(
+            mesh, slam2.field, H, W, iterations=slam2.iterations,
+            normals="volume", max_visible_per_device=256, **knobs)
+        jstep = jax.jit(functools.partial(step, use_gt=False, neg_y=False))
+        for i, d in enumerate(depths):
+            st = jstep(st, jnp.asarray(d), jnp.asarray(K4),
+                       jnp.asarray(i, jnp.int32),
+                       jnp.eye(4, dtype=jnp.float32))
+        sharded = jax.device_get(st)
+
+        # the gate and the dither phase fired identically
+        assert int(single.alloc_count) == int(sharded.alloc_count)
+        assert int(single.alloc_count) < len(depths)  # it actually gated
+        np.testing.assert_allclose(np.asarray(single.alloc_pose),
+                                   np.asarray(sharded.alloc_pose),
+                                   atol=1e-4)
+        assert int(single.map.n_blocks) == int(sharded.map.n_blocks)
+        np.testing.assert_allclose(np.asarray(single.pose),
+                                   np.asarray(sharded.pose), atol=1e-4)
+
+
 class TestShardedRaycastExtensions:
     """VERDICT r2 item 5: the exchange raycast must cover the headline
     hybrid-normals config and multiscale (occupancy) fields."""
