@@ -84,6 +84,9 @@ def main():
     alloc_on_demand = \
         float(sys.argv[sys.argv.index("--alloc-on-demand") + 1]) \
         if "--alloc-on-demand" in sys.argv else 0.0
+    aod_border = \
+        float(sys.argv[sys.argv.index("--alloc-on-demand-border") + 1]) \
+        if "--alloc-on-demand-border" in sys.argv else 0.0
 
     # default-flags noise regime (VERDICT r3 item 3): `--bilateral` with
     # no explicit config knobs selects the noise-validated stack exactly
@@ -167,7 +170,8 @@ def main():
                            coarse_alloc=coarse_alloc,
                            alloc_adaptive_deg=alloc_adaptive,
                            alloc_adaptive_dist=alloc_adaptive_dist,
-                           alloc_on_demand=alloc_on_demand)
+                           alloc_on_demand=alloc_on_demand,
+                           alloc_on_demand_border=aod_border)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -258,6 +262,7 @@ def main():
         "alloc_adaptive_deg": alloc_adaptive,
         "alloc_adaptive_dist": alloc_adaptive_dist,
         "alloc_on_demand": alloc_on_demand,
+        "alloc_on_demand_border": aod_border,
         "auto_noise_regime": auto_regime,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
@@ -316,6 +321,8 @@ def main():
         mode += f"_aad{alloc_adaptive:g}x{alloc_adaptive_dist:g}"
     if alloc_on_demand > 0:
         mode += f"_aod{alloc_on_demand:g}"
+        if aod_border > 0:
+            mode += f"b{aod_border:g}"
     if not coarse_alloc:
         mode += "_eca"
     if grad_decim > 1:

@@ -53,7 +53,10 @@ def knobs(rec: dict) -> str:
         parts.append(f"aad{rec['alloc_adaptive_deg']:g}"
                      f"x{rec.get('alloc_adaptive_dist', 0.24):g}")
     if rec.get("alloc_on_demand", 0.0) > 0:
-        parts.append(f"aod{rec['alloc_on_demand']:g}")
+        t = f"aod{rec['alloc_on_demand']:g}"
+        if rec.get("alloc_on_demand_border", 0.0) > 0:
+            t += f"b{rec['alloc_on_demand_border']:g}"
+        parts.append(t)
     if not rec.get("coarse_alloc", True):
         parts.append("eca")
     if rec.get("grad_decim", 1) != 1:

@@ -85,6 +85,9 @@ class Configuration:
                                            # fire when > this fraction of
                                            # valid depth pixels hits an
                                            # unallocated block
+    alloc_on_demand_border: float = 0.0    # crop this image fraction per
+                                           # side before measuring (ignore
+                                           # frustum-edge slivers)
     raycast_midsolve: bool = False         # half-res secant re-solve between
                                            # scan and full-res refine (pairs
                                            # with a coarse scan_stride)

@@ -117,6 +117,7 @@ def make_process_frame_sharded(
         alloc_stride: float = 1.0, alloc_rate: int = 1,
         alloc_adaptive_deg: float = 0.0, alloc_adaptive_dist: float = 0.0,
         alloc_on_demand: float = 0.0,
+        alloc_on_demand_border: float = 0.0,
         grad_decim: int = 1, near_rescue: bool = True,
         adaptive_deg: float = 0.0, adaptive_dist: float = 0.12,
         max_visible_per_device: int = 1024,
@@ -220,7 +221,8 @@ def make_process_frame_sharded(
                 # data-driven gate: replicated block_index + depth ->
                 # identical predicate on every device
                 frac = integration.unallocated_fraction(
-                    m0, st.float_depth, st.pose, K)
+                    m0, st.float_depth, st.pose, K,
+                    border=alloc_on_demand_border)
                 alloc_gate = gate & ((frac > alloc_on_demand)
                                      | (frame <= 5))
             elif alloc_adaptive_deg > 0.0 and st.alloc_pose is not None:

@@ -329,15 +329,30 @@ def ofusion_wanted_masks(m: VoxelMap, depth, pose, K, band: float,
     return masks
 
 
-def unallocated_fraction(m: VoxelMap, depth, pose, K, decim: int = 4):
+def unallocated_fraction(m: VoxelMap, depth, pose, K, decim: int = 4,
+                         border: float = 0.0):
     """Fraction of (decimated) valid depth pixels whose surface block is
     not yet allocated — the firing signal for the on-demand allocation
     gate (``alloc_on_demand``).  Allocation is idempotent coverage (the
     carve itself happens in fusion), so the march is needed exactly when
     the frame shows surface outside the allocated set.  One ``[H/4*W/4]``
     gather from the replicated ``block_index`` (~5k descriptors at
-    320x240): ~0.1 ms/frame."""
+    320x240): ~0.1 ms/frame.
+
+    ``border`` crops that fraction of the image on each side before
+    measuring.  Camera rotation streams new content in from the frustum
+    EDGE (the bench orbit accrues ~6%/integrate there, tripping any
+    useful threshold every frame), while the events that actually need
+    an immediate march — disocclusion reveals in unexplored rooms —
+    appear in the interior.  An edge sliver only matters once rotation
+    carries it inside the crop, so the crop acts as a staleness bound in
+    motion units, data-verified."""
     d, vertex, _, _, _ = _pixel_rays(depth, pose, K, decim)
+    if border > 0.0:
+        Hd, Wd = d.shape
+        by, bx = int(Hd * border), int(Wd * border)
+        sl = (slice(by, Hd - by), slice(bx, Wd - bx))
+        d, vertex = d[sl], vertex[sl]
     bc = jnp.floor(vertex * m.inverse_voxel_size).astype(jnp.int32) \
         >> int(np.log2(BLOCK_SIDE))
     B = m.blocks_per_edge

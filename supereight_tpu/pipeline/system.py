@@ -125,6 +125,7 @@ class DenseSLAMSystem:
                 alloc_adaptive_deg=config.alloc_adaptive_deg,
                 alloc_adaptive_dist=config.alloc_adaptive_dist,
                 alloc_on_demand=config.alloc_on_demand,
+                alloc_on_demand_border=config.alloc_on_demand_border,
                 integrate_patch=config.integrate_patch,
             ),
             static_argnames=("use_gt", "neg_y"))
@@ -150,6 +151,7 @@ class DenseSLAMSystem:
                 alloc_adaptive_deg=config.alloc_adaptive_deg,
                 alloc_adaptive_dist=config.alloc_adaptive_dist,
                 alloc_on_demand=config.alloc_on_demand,
+                alloc_on_demand_border=config.alloc_on_demand_border,
                 integrate_patch=config.integrate_patch)),
             "raycasting": jax.jit(functools.partial(
                 raycasting_stage, field=self.field,
@@ -390,7 +392,8 @@ def integration_stage(state: FrameState, k, frame, *, field,
                       coarse_alloc: bool = True,
                       alloc_adaptive_deg: float = 0.0,
                       alloc_adaptive_dist: float = 0.0,
-                      alloc_on_demand: float = 0.0) -> FrameState:
+                      alloc_on_demand: float = 0.0,
+                      alloc_on_demand_border: float = 0.0) -> FrameState:
     """integration() (`DenseSLAMSystem.cpp:206-268`): integrates when
     tracked or during the bootstrap frames.  When the state carries a
     gradient table (raycast_normals == "stored") it is rebuilt here — the
@@ -438,7 +441,8 @@ def integration_stage(state: FrameState, k, frame, *, field,
                                             stride=alloc_stride)
 
         if alloc_on_demand > 0.0:
-            frac = integration.unallocated_fraction(m, float_depth, pose, K)
+            frac = integration.unallocated_fraction(
+                m, float_depth, pose, K, border=alloc_on_demand_border)
             do_alloc = (frac > alloc_on_demand) | (frame <= 5)
         elif alloc_adaptive_deg > 0.0 and state.alloc_pose is not None:
             dR = pose[:3, :3] @ state.alloc_pose[:3, :3].T
@@ -592,7 +596,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   coarse_alloc: bool = True,
                   alloc_adaptive_deg: float = 0.0,
                   alloc_adaptive_dist: float = 0.0,
-                  alloc_on_demand: float = 0.0) -> FrameState:
+                  alloc_on_demand: float = 0.0,
+                  alloc_on_demand_border: float = 0.0) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
@@ -610,7 +615,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                               coarse_alloc=coarse_alloc,
                               alloc_adaptive_deg=alloc_adaptive_deg,
                               alloc_adaptive_dist=alloc_adaptive_dist,
-                              alloc_on_demand=alloc_on_demand)
+                              alloc_on_demand=alloc_on_demand,
+                              alloc_on_demand_border=alloc_on_demand_border)
     return raycasting_stage(state, k, frame, field=field, normals=normals,
                             second_window=second_window,
                             span_factor=span_factor, refine=refine,
