@@ -69,6 +69,18 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "instead of a fixed --raycast-rate schedule")
     p.add_argument("--adaptive-dist", type=float, default=0.12,
                    help="translation trigger (m) for --adaptive-raycast")
+    p.add_argument("--adaptive-alloc", type=float, default=0.0,
+                   metavar="DEG",
+                   help="motion-adaptive allocation march (occupancy): "
+                        "march once the pose has rotated DEG degrees or "
+                        "moved --adaptive-alloc-dist metres since the "
+                        "last march")
+    p.add_argument("--adaptive-alloc-dist", type=float, default=0.3)
+    p.add_argument("--alloc-on-demand", type=float, default=0.0,
+                   metavar="FRAC",
+                   help="data-driven allocation march: fire when more "
+                        "than FRAC of valid depth pixels hits an "
+                        "unallocated block (the validated-safe gate)")
     p.add_argument("--normals", default="volume",
                    choices=("volume", "stored", "hybrid", "exact"))
     p.add_argument("--icp-decim", type=int, default=1,
@@ -132,6 +144,9 @@ def main(argv=None):
         raycast_rate=args.raycast_rate,
         raycast_adaptive_deg=args.adaptive_raycast,
         raycast_adaptive_dist=args.adaptive_dist,
+        alloc_adaptive_deg=args.adaptive_alloc,
+        alloc_adaptive_dist=args.adaptive_alloc_dist,
+        alloc_on_demand=args.alloc_on_demand,
         raycast_normals=args.normals,
         icp_finest_decimate=args.icp_decim,
         raycast_scan_stride=args.scan_stride,
