@@ -81,6 +81,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="data-driven allocation march: fire when more "
                         "than FRAC of valid depth pixels hits an "
                         "unallocated block (the validated-safe gate)")
+    p.add_argument("--block-capacity", type=int, default=0,
+                   help="voxel-block table capacity (0: auto-size from "
+                        "the volume resolution); raise when the run "
+                        "warns about dropped allocations")
     p.add_argument("--normals", default="volume",
                    choices=("volume", "stored", "hybrid", "exact"))
     p.add_argument("--icp-decim", type=int, default=1,
@@ -147,6 +151,7 @@ def main(argv=None):
         alloc_adaptive_deg=args.adaptive_alloc,
         alloc_adaptive_dist=args.adaptive_alloc_dist,
         alloc_on_demand=args.alloc_on_demand,
+        block_capacity=args.block_capacity or None,
         raycast_normals=args.normals,
         icp_finest_decimate=args.icp_decim,
         raycast_scan_stride=args.scan_stride,
@@ -281,6 +286,15 @@ def main(argv=None):
         print(Stats.summary(), file=sys.stderr)
         print(f"{n} frames in {wall:.2f}s -> {n / wall:.2f} fps",
               file=sys.stderr)
+
+    overflow = int(slam.state.map.overflow)
+    if overflow:
+        # capacity exhaustion silently corrupts the map (and then the
+        # trajectory) — e.g. a long dolly sweep wants ~2x the orbit's
+        # block count at 512^3; surface it loudly
+        print(f"WARNING: {overflow} block-allocation requests dropped — "
+              f"map capacity ({slam.state.map.capacity}) exhausted; "
+              f"re-run with a larger --block-capacity", file=sys.stderr)
 
     if args.dump_volume:
         serialise.save_map(args.dump_volume, slam.state.map)
