@@ -120,6 +120,9 @@ def main():
         .replace(".npz", "")
     if "-F" in args.extra.split():
         tag += "_bf"
+    extra = args.extra.split()
+    if "-v" in extra:
+        tag += f"_v{extra[extra.index('-v') + 1]}"
     out["sequence"] = args.frames_npz.replace(".npz", "")
     path = os.path.join(REPO, f"bench_data/ref_anchor_{args.field}{tag}.json")
     with open(path, "w") as fh:
