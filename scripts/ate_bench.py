@@ -94,6 +94,8 @@ def main():
     _CONFIG_FLAGS = {"--field", "--normals", "--int-rate", "--no-rescue",
                      "--mu", "--icp-decim", "--int-budget", "--scan-stride",
                      "--alloc-rate", "--alloc-adaptive", "--alloc-on-demand",
+                     "--alloc-adaptive-dist", "--alloc-on-demand-border",
+                     "--exact-coarse-alloc",
                      "--grad-decim", "--inc-view",
                      "--adaptive", "--rc-rate", "--no-fine2",
                      "--refine", "--span", "--midsolve",

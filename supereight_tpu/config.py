@@ -79,8 +79,14 @@ class Configuration:
                                            # allocate <=N-1 frames late)
     alloc_adaptive_deg: float = 0.0        # >0: replace alloc_rate with a
                                            # motion gate (march once the
-    alloc_adaptive_dist: float = 0.0       # pose rotated deg / moved m
-                                           # since the last march)
+    alloc_adaptive_dist: float = 0.24      # pose rotated deg / moved m
+                                           # since the last march).  The
+                                           # dist default matches the CLI
+                                           # frontends' validated 0.24 so
+                                           # Configuration-only users who
+                                           # set only the deg knob get the
+                                           # intended gating, not a march
+                                           # on any motion (ADVICE r4)
     alloc_on_demand: float = 0.0           # >0: gate the march on data —
                                            # fire when > this fraction of
                                            # valid depth pixels hits an

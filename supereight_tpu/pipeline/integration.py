@@ -268,7 +268,11 @@ def ofusion_wanted_masks(m: VoxelMap, depth, pose, K, band: float,
         def scatter_at(mask, oy, ox):
             if stride > 1:
                 H2, W2 = origin.shape[:2]
-                ny, nx = (H2 - 1) // stride, (W2 - 1) // stride
+                # count rows/cols REACHABLE from this phase offset so the
+                # last row/col (which _pixel_rays includes for border
+                # octants) is covered by the phase union (ADVICE r4)
+                ny = (H2 - 1 - oy) // stride + 1
+                nx = (W2 - 1 - ox) // stride + 1
                 sl = (slice(oy, oy + ny * stride, stride),
                       slice(ox, ox + nx * stride, stride))
             else:

@@ -204,12 +204,11 @@ class TestOFusionCoarseStride:
                 union[lvl] |= np.asarray(mk)
         for lvl, (e, u) in enumerate(zip(exact, union)):
             e = np.asarray(e)
-            assert not (u & ~e).any(), f"level {lvl} inflated"
-            if e.any():
-                # the uniform per-phase grid drops the last row/col of an
-                # odd grid, so allow a vanishing sliver deficit
-                assert u.sum() >= 0.98 * e.sum(), \
-                    f"level {lvl}: union {int(u.sum())}/{int(e.sum())}"
+            # exact equality: each phase grid now reaches the last
+            # row/col reachable from its offset (ADVICE r4), so the
+            # 4-phase union IS the full-ray march's coverage
+            np.testing.assert_array_equal(
+                u, e, err_msg=f"level {lvl}: union != exact")
 
 
 class TestAllocOnDemand:

@@ -498,6 +498,47 @@ class TestUnifiedShardedFrame:
         np.testing.assert_allclose(np.asarray(single.pose),
                                    np.asarray(sharded.pose), atol=1e-4)
 
+    def test_ofusion_on_demand_alloc_matches_single(self, frames):
+        """ADVICE r4: the data-driven alloc gate (alloc_on_demand) relies
+        on block_index/float_depth being replicated so unallocated_fraction
+        yields an identical predicate on every device — pin that with the
+        same 1-vs-8 parity the adaptive gate has."""
+        from supereight_tpu.parallel import frame_dist
+
+        poses8 = orbit_poses(8, 4.8, sweep=0.03)
+        depths = [np.clip(np.asarray(render_depth(
+            jnp.asarray(p), jnp.asarray(K4), 4.8, H, W)) * 1000,
+            0, 65535).astype(np.uint16) for p in poses8]
+        cfg = Configuration(volume_resolution=(64,) * 3,
+                            volume_size=(4.8,) * 3, pyramid=(3, 2, 2),
+                            block_capacity=1024, integration_rate=1,
+                            map_partitions=8, field_type="ofusion")
+        knobs = dict(alloc_on_demand=0.01)
+        slam = DenseSLAMSystem((H, W), cfg)
+        fn = functools.partial(
+            process_frame, field=slam.field, iterations=slam.iterations,
+            tracking_rate=1, integration_rate=1, bilateral=False,
+            icp_threshold=1e-5, use_gt=False, neg_y=False, **knobs)
+        single = run_frames(slam.state, fn, depths)
+
+        slam2 = DenseSLAMSystem((H, W), cfg)
+        mesh = make_mesh(8)
+        st = frame_dist.frame_sharding(mesh)(slam2.state)
+        step = frame_dist.make_process_frame_sharded(
+            mesh, slam2.field, H, W, iterations=slam2.iterations,
+            normals="volume", max_visible_per_device=256, **knobs)
+        jstep = jax.jit(functools.partial(step, use_gt=False, neg_y=False))
+        for i, d in enumerate(depths):
+            st = jstep(st, jnp.asarray(d), jnp.asarray(K4),
+                       jnp.asarray(i, jnp.int32),
+                       jnp.eye(4, dtype=jnp.float32))
+        sharded = jax.device_get(st)
+
+        assert int(single.alloc_count) == int(sharded.alloc_count)
+        assert int(single.map.n_blocks) == int(sharded.map.n_blocks)
+        np.testing.assert_allclose(np.asarray(single.pose),
+                                   np.asarray(sharded.pose), atol=1e-4)
+
 
 class TestShardedRaycastExtensions:
     """VERDICT r2 item 5: the exchange raycast must cover the headline
