@@ -87,6 +87,14 @@ def main():
     aod_border = \
         float(sys.argv[sys.argv.index("--alloc-on-demand-border") + 1]) \
         if "--alloc-on-demand-border" in sys.argv else 0.0
+    # beyond-reference ICP solver levers (VERDICT r4 item 2)
+    icp_robust = sys.argv[sys.argv.index("--robust") + 1] \
+        if "--robust" in sys.argv else "none"
+    robust_delta = float(sys.argv[sys.argv.index("--robust-delta") + 1]) \
+        if "--robust-delta" in sys.argv else 0.01
+    icp_assoc = sys.argv[sys.argv.index("--assoc") + 1] \
+        if "--assoc" in sys.argv else "nearest"
+    icp_symmetric = "--symmetric" in sys.argv
 
     # default-flags noise regime (VERDICT r3 item 3): `--bilateral` with
     # no explicit config knobs selects the noise-validated stack exactly
@@ -101,7 +109,9 @@ def main():
                      "--refine", "--span", "--midsolve",
                      "--full-res-scan", "--alloc-stride",
                      "--patch", "--w2-budget",
-                     "--adaptive-dist"}
+                     "--adaptive-dist",
+                     "--robust", "--robust-delta", "--assoc",
+                     "--symmetric"}
     auto_regime = bilateral and not (_CONFIG_FLAGS & set(sys.argv))
     if auto_regime:
         field_name, normals, int_rate, near_rescue = \
@@ -173,7 +183,11 @@ def main():
                            alloc_adaptive_deg=alloc_adaptive,
                            alloc_adaptive_dist=alloc_adaptive_dist,
                            alloc_on_demand=alloc_on_demand,
-                           alloc_on_demand_border=aod_border)
+                           alloc_on_demand_border=aod_border,
+                           icp_robust=icp_robust,
+                           icp_robust_delta=robust_delta,
+                           icp_assoc=icp_assoc,
+                           icp_symmetric=icp_symmetric)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -265,6 +279,10 @@ def main():
         "alloc_adaptive_dist": alloc_adaptive_dist,
         "alloc_on_demand": alloc_on_demand,
         "alloc_on_demand_border": aod_border,
+        "icp_robust": icp_robust,
+        "icp_robust_delta": robust_delta,
+        "icp_assoc": icp_assoc,
+        "icp_symmetric": icp_symmetric,
         "auto_noise_regime": auto_regime,
         "steady_fps": round(fps, 2),
         "ate_rmse_m": round(ate["rmse"], 4),
@@ -327,6 +345,12 @@ def main():
             mode += f"b{aod_border:g}"
     if not coarse_alloc:
         mode += "_eca"
+    if icp_robust != "none":
+        mode += f"_rb{icp_robust[0]}{robust_delta:g}"
+    if icp_assoc != "nearest":
+        mode += "_bl"
+    if icp_symmetric:
+        mode += "_sy"
     if grad_decim > 1:
         mode += f"_gd{grad_decim}"
     if inc_view:

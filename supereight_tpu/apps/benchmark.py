@@ -97,6 +97,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--int-budget", type=int, default=0,
                    help="fuse at most this many frustum-candidate blocks "
                         "per frame (0 = stream the whole table)")
+    p.add_argument("--preset", default="",
+                   help="named validated knob stack (config.PRESETS: "
+                        "headline, quality, ofusion, noise, demo512-sdf, "
+                        "demo512-ofusion, 1024-quality); explicitly "
+                        "passed flags override preset fields")
     p.add_argument("--live", action="store_true",
                    help="acquire through the live-camera replay reader "
                         "(io.live.LiveReplayReader): the sensor paces the "
@@ -159,27 +164,49 @@ def main(argv=None):
         integrate_budget=args.int_budget,
     )
 
-    # -F is the noisy-sensor signal: unless the user pinned the relevant
-    # knobs, switch to the noise-validated stack (config.NOISE_REGIME —
-    # occupancy fusion, measured 9.88 cm on the Kinect-noise sequence vs
-    # 23.4 for the SDF default)
     argv_l = sys.argv[1:] if argv is None else argv
-    pinned = set()
-    if "--field" in argv_l:
-        pinned.add("field_type")
-    if "--normals" in argv_l:
-        pinned.add("raycast_normals")
-    if "-z" in argv_l or "--integration-rate" in argv_l:
-        pinned.add("integration_rate")
-    if "-m" in argv_l or "--mu" in argv_l:
-        pinned.add("mu")
-    from supereight_tpu.config import apply_noise_regime
-    cfg2 = apply_noise_regime(cfg, pinned)
-    if cfg2 is not cfg and cfg2.field_type != cfg.field_type:
-        print(f"# bilateral filter on: noise regime selected "
-              f"(field={cfg2.field_type}, -z{cfg2.integration_rate}; "
-              f"pass --field to override)", file=sys.stderr)
-    cfg = cfg2
+    # explicitly-passed flags pin their Configuration fields against
+    # preset / auto-regime overrides
+    _FLAG2FIELD = {
+        "--field": "field_type", "--normals": "raycast_normals",
+        "-z": "integration_rate", "--integration-rate": "integration_rate",
+        "-m": "mu", "--mu": "mu",
+        "-v": "volume_resolution",
+        "--volume-resolution": "volume_resolution",
+        "--block-capacity": "block_capacity",
+        "--int-budget": "integrate_budget",
+        "--icp-decim": "icp_finest_decimate",
+        "--scan-stride": "raycast_scan_stride",
+        "--midsolve": "raycast_midsolve",
+        "--raycast-rate": "raycast_rate",
+        "--adaptive-raycast": "raycast_adaptive_deg",
+        "--adaptive-dist": "raycast_adaptive_dist",
+        "--adaptive-alloc": "alloc_adaptive_deg",
+        "--adaptive-alloc-dist": "alloc_adaptive_dist",
+        "--alloc-on-demand": "alloc_on_demand",
+        "-F": "bilateral_filter", "--bilateral-filter": "bilateral_filter",
+    }
+    pinned = {f for fl, f in _FLAG2FIELD.items() if fl in argv_l}
+
+    if args.preset:
+        # named validated stack (config.PRESETS); user flags win
+        from supereight_tpu.config import apply_preset
+        cfg = apply_preset(args.preset, cfg, pinned=pinned)
+        print(f"# preset {args.preset}: field={cfg.field_type}, "
+              f"v={cfg.volume_resolution[0]}, -z{cfg.integration_rate}",
+              file=sys.stderr)
+    else:
+        # -F is the noisy-sensor signal: unless the user pinned the
+        # relevant knobs, switch to the noise-validated stack
+        # (config.NOISE_REGIME — occupancy fusion, measured 9.88 cm on
+        # the Kinect-noise sequence vs 23.4 for the SDF default)
+        from supereight_tpu.config import apply_noise_regime
+        cfg2 = apply_noise_regime(cfg, pinned)
+        if cfg2 is not cfg and cfg2.field_type != cfg.field_type:
+            print(f"# bilateral filter on: noise regime selected "
+                  f"(field={cfg2.field_type}, -z{cfg2.integration_rate}; "
+                  f"pass --field to override)", file=sys.stderr)
+        cfg = cfg2
 
     gt_poses = None
     if args.ground_truth:

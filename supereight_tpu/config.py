@@ -161,9 +161,118 @@ class Configuration:
     raycast_coarse_samples: int = 96
     raycast_fine_samples: int = 16
     field_type: str = "sdf"                # "sdf" | "ofusion"
+    # Beyond-reference ICP solver levers (the reference solve,
+    # `tracking.cpp:226-336`, uses hard gates + plain point-to-plane with
+    # nearest association; these are descriptor-cheap refinements):
+    icp_robust: str = "none"               # "none" | "huber" | "tukey" —
+                                           # IRLS weight on the residual
+    icp_robust_delta: float = 0.01         # Huber delta / Tukey c (metres)
+    icp_assoc: str = "nearest"             # "nearest" (reference rounding)
+                                           # | "bilinear" (sub-pixel blend
+                                           # of 4 reference rows, nearest
+                                           # fallback at discontinuities)
+    icp_symmetric: bool = False            # symmetric point-to-plane
+                                           # (normal-bisector residual)
 
     def pyramid_levels(self) -> int:
         return len(self.pyramid)
+
+
+#: Named configuration presets: the validated knob stacks from the
+#: bench_data records (STATUS.md "Measured records" table), promoted to
+#: code so users select a stack by name instead of an 8-knob string.
+#: Reference analog: its single default config
+#: (`se_apps/include/default_parameters.h:26-49`) plus the Makefile demo
+#: targets (`Makefile:38-42`).  Values are Configuration field overrides;
+#: apply with :func:`apply_preset`.
+PRESETS = {
+    # 256^3 SDF throughput headline: 143.9 fps @ 1.85 cm (bench.py;
+    # bench_data/ate_icp_256_hybrid_ad3.8x0.07_id2_ib3072_ss1_ar3_gd2)
+    "headline": dict(
+        field_type="sdf",
+        raycast_normals="hybrid",
+        raycast_adaptive_deg=3.8, raycast_adaptive_dist=0.07,
+        icp_finest_decimate=2, integrate_budget=3072,
+        raycast_scan_stride=1.0, alloc_rate=3, raycast_grad_decim=2,
+        integration_rate=1,
+    ),
+    # 256^3 SDF quality point: 40.9 fps @ 1.73 cm (full ICP, volume
+    # normals; bench_data/ate_icp_256_nr)
+    "quality": dict(
+        field_type="sdf",
+        raycast_normals="volume", raycast_near_rescue=False,
+        integration_rate=1,
+    ),
+    # 256^3 OFusion throughput: 64.3 fps @ 2.21 cm
+    # (bench_data/ate_icp_ofusion_256_hybrid_id2_ib3072_ss1_iv_nr_z4)
+    "ofusion": dict(
+        field_type="ofusion", mu=0.05,
+        raycast_normals="hybrid", icp_finest_decimate=2,
+        integrate_budget=3072, raycast_scan_stride=1.0,
+        incremental_view=True, raycast_near_rescue=False,
+        integration_rate=4,
+    ),
+    # Kinect-noise regime: OFusion quality stack, 34-38 fps @ 9.88 cm on
+    # the noise model — beats the reference's best noisy run on both axes
+    # (bench_data/ate_icp_ofusion_256_bf_noisy_nr_z4); selected
+    # automatically by -F with default flags (apply_noise_regime)
+    "noise": dict(
+        field_type="ofusion", mu=0.05,
+        raycast_normals="volume", raycast_near_rescue=False,
+        integration_rate=4, bilateral_filter=True,
+    ),
+    # 512^3 SDF at the reference's demo-kfusion scale
+    # (`Makefile:38-42`), validated across the r5 sequence matrix:
+    # full-res scan + full integrate budget + -z1 are what keep held-out
+    # room geometry (3.8 cm) and the translation dolly (7.3 cm, beats
+    # the reference's 12.3) from the half-res stack's divergence
+    # (bench_data/ate_icp_512_*fr*; chain-26 bisect)
+    "demo512-sdf": dict(
+        field_type="sdf",
+        volume_resolution=(512, 512, 512),
+        block_capacity=24576, integrate_budget=24576,
+        raycast_normals="hybrid", icp_finest_decimate=2,
+        raycast_scan_stride=1.0, raycast_grad_decim=2,
+        incremental_view=True, raycast_full_res_scan=True,
+        integration_rate=1,
+    ),
+    # 512^3 OFusion demo scale: the never-failed allocation gate
+    # (on-demand 0.01), 32 fps @ 2.26 cm, room2 9.7 / alt 15.1 / jit 3.7
+    # (bench_data/ate_icp_ofusion_512_hybrid_id2_ib6144_ss1_aod0.01_iv_nr_z4)
+    "demo512-ofusion": dict(
+        field_type="ofusion", mu=0.05,
+        volume_resolution=(512, 512, 512),
+        block_capacity=24576, integrate_budget=6144,
+        raycast_normals="hybrid", icp_finest_decimate=2,
+        raycast_scan_stride=1.0, incremental_view=True,
+        alloc_on_demand=0.01, raycast_near_rescue=False,
+        integration_rate=4,
+    ),
+    # 1024^3 (beyond the reference's shipped scales): OFusion quality,
+    # 7.9 fps @ 4.55 cm, 174k blocks, zero overflow
+    # (bench_data/ate_icp_ofusion_1024_ib98304_nr_z4)
+    "1024-quality": dict(
+        field_type="ofusion", mu=0.05,
+        volume_resolution=(1024, 1024, 1024),
+        block_capacity=98304, integrate_budget=98304,
+        raycast_normals="volume", raycast_near_rescue=False,
+        integration_rate=4,
+    ),
+}
+
+
+def apply_preset(name: str, cfg: Optional[Configuration] = None,
+                 pinned=()) -> Configuration:
+    """Return ``cfg`` (default-constructed if None) with the named
+    preset's overrides applied.  ``pinned`` field names keep their
+    current value (CLI frontends pass explicitly-set flags so a user can
+    start from a preset and override single knobs)."""
+    if name not in PRESETS:
+        raise ValueError(
+            f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    cfg = cfg if cfg is not None else Configuration()
+    upd = {k: v for k, v in PRESETS[name].items() if k not in pinned}
+    return dataclasses.replace(cfg, **upd)
 
 
 #: The noise-validated stack (VERDICT r3 item 3): on the Kinect-noise

@@ -120,6 +120,8 @@ def make_process_frame_sharded(
         alloc_on_demand_border: float = 0.0,
         grad_decim: int = 1, near_rescue: bool = True,
         adaptive_deg: float = 0.0, adaptive_dist: float = 0.12,
+        icp_robust: str = "none", icp_robust_delta: float = 0.01,
+        icp_assoc: str = "nearest", icp_symmetric: bool = False,
         max_visible_per_device: int = 1024,
         axis: str = MAP_AXIS, _skip: frozenset = frozenset()):
     """Build ``step(state, depth_mm, k, frame, gt_pose, *, use_gt, neg_y)``
@@ -192,7 +194,9 @@ def make_process_frame_sharded(
                     st.pose, depths, vertices, norms_pyr, st.ref_vertex,
                     st.ref_normal, st.raycast_pose, k, iterations,
                     icp_threshold, finest_decimate=finest_decimate,
-                    shard=(axis, n_dev))
+                    shard=(axis, n_dev),
+                    robust=icp_robust, robust_delta=icp_robust_delta,
+                    assoc=icp_assoc, symmetric=icp_symmetric)
                 if finest_rows % n_dev == 0:
                     # finest level ran strip-sharded: result is this
                     # device's strip — reassemble the full status image

@@ -127,6 +127,10 @@ class DenseSLAMSystem:
                 alloc_on_demand=config.alloc_on_demand,
                 alloc_on_demand_border=config.alloc_on_demand_border,
                 integrate_patch=config.integrate_patch,
+                icp_robust=config.icp_robust,
+                icp_robust_delta=config.icp_robust_delta,
+                icp_assoc=config.icp_assoc,
+                icp_symmetric=config.icp_symmetric,
             ),
             static_argnames=("use_gt", "neg_y"))
         # (no donation here: callers may hold references to earlier states;
@@ -140,7 +144,11 @@ class DenseSLAMSystem:
                 tracking_stage, field=self.field, iterations=self.iterations,
                 tracking_rate=config.tracking_rate,
                 icp_threshold=config.icp_threshold,
-                finest_decimate=config.icp_finest_decimate),
+                finest_decimate=config.icp_finest_decimate,
+                icp_robust=config.icp_robust,
+                icp_robust_delta=config.icp_robust_delta,
+                icp_assoc=config.icp_assoc,
+                icp_symmetric=config.icp_symmetric),
                 static_argnames=("use_gt", "neg_y")),
             "integration": jax.jit(functools.partial(
                 integration_stage, field=self.field,
@@ -362,9 +370,15 @@ def preprocessing_stage(state: FrameState, depth_mm, *,
 def tracking_stage(state: FrameState, k, frame, gt_pose, *, field,
                    iterations, tracking_rate, icp_threshold, use_gt: bool,
                    neg_y: bool,
-                   finest_decimate: int = 1) -> FrameState:
+                   finest_decimate: int = 1,
+                   icp_robust: str = "none",
+                   icp_robust_delta: float = 0.01,
+                   icp_assoc: str = "nearest",
+                   icp_symmetric: bool = False) -> FrameState:
     """tracking() (`DenseSLAMSystem.cpp:143-189`); ground-truth mode
-    bypasses ICP like `mainQt.cpp:257-265`."""
+    bypasses ICP like `mainQt.cpp:257-265`.  The ``icp_*`` knobs are the
+    beyond-reference solver levers (robust IRLS weighting, bilinear
+    sub-pixel association, symmetric point-to-plane — tracking.py)."""
     # NegY normal orientation follows fy < 0 (`DenseSLAMSystem.cpp:159-162`)
     depths, vertices, normals = preprocessing.build_pyramid(
         state.scaled_depth, k, len(iterations), neg_y=neg_y)
@@ -376,7 +390,9 @@ def tracking_stage(state: FrameState, k, frame, gt_pose, *, field,
     new_pose, ok, result = tracking.track(
         state.pose, depths, vertices, normals, state.ref_vertex,
         state.ref_normal, state.raycast_pose, k, iterations, icp_threshold,
-        finest_decimate=finest_decimate)
+        finest_decimate=finest_decimate,
+        robust=icp_robust, robust_delta=icp_robust_delta,
+        assoc=icp_assoc, symmetric=icp_symmetric)
     return state.replace(
         pose=jnp.where(do_track, new_pose, state.pose),
         tracked=do_track & ok,
@@ -597,7 +613,11 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   alloc_adaptive_deg: float = 0.0,
                   alloc_adaptive_dist: float = 0.0,
                   alloc_on_demand: float = 0.0,
-                  alloc_on_demand_border: float = 0.0) -> FrameState:
+                  alloc_on_demand_border: float = 0.0,
+                  icp_robust: str = "none",
+                  icp_robust_delta: float = 0.01,
+                  icp_assoc: str = "nearest",
+                  icp_symmetric: bool = False) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
@@ -605,7 +625,11 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                            iterations=iterations, tracking_rate=tracking_rate,
                            icp_threshold=icp_threshold, use_gt=use_gt,
                            neg_y=neg_y,
-                           finest_decimate=finest_decimate)
+                           finest_decimate=finest_decimate,
+                           icp_robust=icp_robust,
+                           icp_robust_delta=icp_robust_delta,
+                           icp_assoc=icp_assoc,
+                           icp_symmetric=icp_symmetric)
     state = integration_stage(state, k, frame, field=field,
                               integration_rate=integration_rate,
                               integrate_budget=integrate_budget,

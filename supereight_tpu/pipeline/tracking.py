@@ -47,19 +47,62 @@ def _project(Ttrack, view, in_vertex, rH, rW):
     return proj_vertex, px, py, in_frame
 
 
-def _gather_ref(ref_vertex, ref_normal, px, py, rH, rW):
-    """The association's ONE gathered op: 6-wide reference rows at the
-    projected pixels (per-row descriptor cost, width nearly free)."""
-    ix = jnp.clip(px.astype(jnp.int32), 0, rW - 1)
-    iy = jnp.clip(py.astype(jnp.int32), 0, rH - 1)
-    ref_vn = jnp.concatenate([ref_vertex, ref_normal], axis=-1)[iy, ix]
+def _gather_ref(ref_vertex, ref_normal, px, py, rH, rW, assoc="nearest"):
+    """The association's gathered op: 6-wide reference rows at the
+    projected pixels (per-row descriptor cost, width nearly free).
+
+    ``assoc="nearest"`` reproduces the reference's rounding association
+    (`tracking.cpp:262-264`: the +0.5 added in ``_project`` makes the
+    int cast a round).  ``assoc="bilinear"`` is a beyond-reference
+    sub-pixel association: blend the 4 neighbouring reference rows where
+    all four carry a valid normal (4 row gathers instead of 1; blended
+    normal renormalized), falling back to the nearest row at
+    silhouettes/holes so discontinuities never mix surfaces."""
+    table = jnp.concatenate([ref_vertex, ref_normal], axis=-1)
+    if assoc == "nearest":
+        ix = jnp.clip(px.astype(jnp.int32), 0, rW - 1)
+        iy = jnp.clip(py.astype(jnp.int32), 0, rH - 1)
+        ref_vn = table[iy, ix]
+        return ref_vn[..., :3], ref_vn[..., 3:]
+    if assoc != "bilinear":
+        raise ValueError(f"assoc {assoc!r}")
+    pxc = px - 0.5                      # continuous pixel coordinate
+    pyc = py - 0.5
+    x0 = jnp.clip(jnp.floor(pxc).astype(jnp.int32), 0, rW - 1)
+    y0 = jnp.clip(jnp.floor(pyc).astype(jnp.int32), 0, rH - 1)
+    x1 = jnp.minimum(x0 + 1, rW - 1)
+    y1 = jnp.minimum(y0 + 1, rH - 1)
+    wx = jnp.clip(pxc - x0.astype(pxc.dtype), 0.0, 1.0)[..., None]
+    wy = jnp.clip(pyc - y0.astype(pyc.dtype), 0.0, 1.0)[..., None]
+    t00, t01 = table[y0, x0], table[y0, x1]
+    t10, t11 = table[y1, x0], table[y1, x1]
+    blend = (t00 * (1 - wx) * (1 - wy) + t01 * wx * (1 - wy)
+             + t10 * (1 - wx) * wy + t11 * wx * wy)
+    n = blend[..., 3:]
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    blend = blend.at[..., 3:].set(n / jnp.where(nn == 0, 1.0, nn))
+    valid4 = ((t00[..., 3] != INVALID) & (t01[..., 3] != INVALID)
+              & (t10[..., 3] != INVALID) & (t11[..., 3] != INVALID))
+    # >= : the int cast of px (= pxc + 0.5) rounds half UP
+    nearest = jnp.where(wx >= 0.5, jnp.where(wy >= 0.5, t11, t01),
+                        jnp.where(wy >= 0.5, t10, t00))
+    ref_vn = jnp.where(valid4[..., None], blend, nearest)
     return ref_vn[..., :3], ref_vn[..., 3:]
 
 
 def _residuals(proj_vertex, proj_normal, ref_v, ref_n, in_frame,
-               no_in_normal, dist_threshold, normal_threshold) -> TrackData:
+               no_in_normal, dist_threshold, normal_threshold,
+               symmetric=False) -> TrackData:
     """Dense residual/Jacobian/status math shared by the gathered and
-    frozen-association steps (`tracking.cpp:252-301`)."""
+    frozen-association steps (`tracking.cpp:252-301`).
+
+    ``symmetric`` (beyond-reference): symmetric point-to-plane — project
+    the residual onto the bisector of the reference and (rotated) input
+    normals instead of the reference normal alone (Rusinkiewicz 2019,
+    "A Symmetric Objective Function for ICP": quadratic convergence
+    basin on locally-quadratic surfaces).  The bisector is renormalized
+    so the divergence gate's RMSE keeps its metric meaning; the
+    rejection gates are unchanged."""
     no_ref_normal = ref_n[..., 0] == INVALID
     diff = ref_v - proj_vertex
     too_far = jnp.linalg.norm(diff, axis=-1) > dist_threshold
@@ -72,8 +115,14 @@ def _residuals(proj_vertex, proj_normal, ref_v, ref_n, in_frame,
     result = jnp.where(~in_frame, -2, result)
     result = jnp.where(no_in_normal, -1, result)
 
-    error = jnp.sum(ref_n * diff, axis=-1)
-    J = jnp.concatenate([ref_n, jnp.cross(proj_vertex, ref_n)], axis=-1)
+    if symmetric:
+        n_c = ref_n + proj_normal
+        nn = jnp.linalg.norm(n_c, axis=-1, keepdims=True)
+        n_c = n_c / jnp.where(nn == 0, 1.0, nn)
+    else:
+        n_c = ref_n
+    error = jnp.sum(n_c * diff, axis=-1)
+    J = jnp.concatenate([n_c, jnp.cross(proj_vertex, n_c)], axis=-1)
     ok = (result == 1)[..., None]
     return TrackData(result=result,
                      error=jnp.where(ok[..., 0], error, 0.0),
@@ -99,16 +148,35 @@ def track_kernel(in_vertex, in_normal, ref_vertex, ref_normal,
                       no_in_normal, dist_threshold, normal_threshold)
 
 
-def reduce_kernel(td: TrackData):
+def reduce_kernel(td: TrackData, robust: str = "none",
+                  robust_delta: float = 0.01):
     """Normal-equation sums (`tracking.cpp:66-224`): returns
     (error2, JTe[6], JTJ[6,6], count).  The reference's 8x32 stripe buffer +
     tree merge is just one ``jnp.sum`` on TPU.  The reference also
     accumulates per-failure-code counts into the same buffer; those live in
     ``TrackData.result`` (renderTrack / PerfStats consume them from there)
-    rather than in this reduction."""
+    rather than in this reduction.
+
+    ``robust`` (beyond-reference; the reference uses hard gates only):
+    IRLS weights on the point-to-plane residual — ``"huber"``
+    (w = min(1, delta/|r|)) or ``"tukey"`` (w = (1-(r/c)^2)^2 inside c,
+    0 outside), dense elementwise math at zero descriptor cost.  The
+    weights enter error2/JTe/JTJ; ``count`` stays the unweighted inlier
+    count so the divergence gate's pixel-fraction test keeps the
+    reference's semantics."""
     ok = (td.result == 1).astype(jnp.float32)
-    w = ok[..., None]
-    error2 = jnp.sum(ok * td.error * td.error)
+    wr = ok
+    if robust == "huber":
+        ae = jnp.abs(td.error)
+        wr = ok * jnp.where(ae > robust_delta,
+                            robust_delta / jnp.maximum(ae, 1e-12), 1.0)
+    elif robust == "tukey":
+        r2 = (td.error / robust_delta) ** 2
+        wr = ok * jnp.where(r2 < 1.0, (1.0 - r2) ** 2, 0.0)
+    elif robust != "none":
+        raise ValueError(f"robust {robust!r}")
+    w = wr[..., None]
+    error2 = jnp.sum(wr * td.error * td.error)
     JTe = jnp.sum(w * td.error[..., None] * td.J, axis=(0, 1))
     Jw = w * td.J
     JTJ = jnp.einsum("hwi,hwj->ij", Jw, td.J)
@@ -135,7 +203,8 @@ class TrackState(NamedTuple):
 
 def _level_loop(state: TrackState, n_iters: int, in_vertex, in_normal,
                 ref_vertex, ref_normal, view, icp_threshold,
-                psum_axis=None):
+                psum_axis=None, robust="none", robust_delta=0.01,
+                assoc="nearest", symmetric=False):
     """`DenseSLAMSystem.cpp:173-185`: iterate track+reduce+update with early
     exit on ||twist|| < icp_threshold, as one lax.while_loop.
 
@@ -161,11 +230,13 @@ def _level_loop(state: TrackState, n_iters: int, in_vertex, in_normal,
         proj_vertex, px, py, in_frame = _project(st.pose, view, in_vertex,
                                                  rH, rW)
         ref_v, ref_n = _gather_ref(ref_vertex, ref_normal, px, py,
-                                   rH, rW)
+                                   rH, rW, assoc=assoc)
         proj_normal = camera.rotate_vectors(st.pose, in_normal)
         td = _residuals(proj_vertex, proj_normal, ref_v, ref_n, in_frame,
-                        no_in_normal, DIST_THRESHOLD, NORMAL_THRESHOLD)
-        error2, JTe, JTJ, count = reduce_kernel(td)
+                        no_in_normal, DIST_THRESHOLD, NORMAL_THRESHOLD,
+                        symmetric=symmetric)
+        error2, JTe, JTJ, count = reduce_kernel(td, robust=robust,
+                                                robust_delta=robust_delta)
         if psum_axis is not None:
             # image-strip-sharded reduction: the reference's 8-stripe
             # OpenMP merge (`tracking.cpp:110`) over ICI — every device
@@ -193,7 +264,9 @@ def track(pose, depths, vertices, normals, ref_vertex, ref_normal,
           icp_threshold: float,
           track_threshold: float = TRACK_THRESHOLD,
           finest_decimate: int = 1,
-          shard=None):
+          shard=None,
+          robust: str = "none", robust_delta: float = 0.01,
+          assoc: str = "nearest", symmetric: bool = False):
     """Full coarse-to-fine tracking (`DenseSLAMSystem.cpp:143-189`).
 
     Returns (new_pose, tracked, result image at full res for renderTrack —
@@ -245,7 +318,9 @@ def track(pose, depths, vertices, normals, ref_vertex, ref_normal,
         st, result = _level_loop(st, iterations[level], iv, inm,
                                  ref_vertex, ref_normal,
                                  view, icp_threshold,
-                                 psum_axis=psum_axis)
+                                 psum_axis=psum_axis,
+                                 robust=robust, robust_delta=robust_delta,
+                                 assoc=assoc, symmetric=symmetric)
 
     # divergence check (`tracking.cpp:320-336`); pixel fraction over the
     # finest level actually executed

@@ -136,3 +136,47 @@ def test_noise_regime_policy():
     # clean data (no bilateral) never switches
     clean = apply_noise_regime(Configuration(bilateral_filter=False))
     assert clean.field_type == "sdf"
+
+
+def test_config_presets():
+    """Named validated stacks (VERDICT r4 item 7): every preset yields a
+    constructible Configuration; pinning keeps user knobs; unknown names
+    fail loudly."""
+    import dataclasses
+    from supereight_tpu.config import (Configuration, PRESETS,
+                                       apply_preset)
+
+    fields = {f.name for f in dataclasses.fields(Configuration)}
+    for name, upd in PRESETS.items():
+        assert set(upd) <= fields, f"{name}: unknown fields {set(upd)-fields}"
+        cfg = apply_preset(name)
+        assert isinstance(cfg, Configuration)
+
+    hl = apply_preset("headline")
+    assert hl.field_type == "sdf" and hl.raycast_adaptive_deg == 3.8
+    assert hl.integrate_budget == 3072 and hl.alloc_rate == 3
+
+    d512 = apply_preset("demo512-sdf")
+    assert d512.volume_resolution == (512, 512, 512)
+    assert d512.raycast_full_res_scan and d512.integrate_budget == 24576
+
+    # pinning: user-set field survives the preset
+    pinned = apply_preset("ofusion",
+                          Configuration(integration_rate=1),
+                          pinned=("integration_rate",))
+    assert pinned.field_type == "ofusion" and pinned.integration_rate == 1
+
+    try:
+        apply_preset("nope")
+        assert False, "unknown preset must raise"
+    except ValueError:
+        pass
+
+
+def test_benchmark_preset_flag(tmp_path):
+    """--preset resolves through the benchmark frontend with explicit
+    flags overriding preset fields."""
+    from supereight_tpu.apps import benchmark as bm
+    args = bm.parse_args(["-i", "x.raw", "--preset", "headline",
+                          "--int-budget", "1024"])
+    assert args.preset == "headline" and args.int_budget == 1024
