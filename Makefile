@@ -31,5 +31,23 @@ eval:
 	$(CPU_ENV) python -m supereight_tpu.apps.runner \
 	    --dataset synthetic-room -v 128 --frames 30
 
+# Driver-metric run on the real ICL-NUIM living-room traj2 dataset
+# (`/root/reference/README.md:77-81`).  Expects under $SE_DATASETS
+# (default ./datasets):
+#   living_room_traj2_loop/   scene_00_0000.depth ...  (text euclidean
+#                             ray lengths, 640x480 — the "TUM compatible"
+#                             scene archive)
+#   livingRoom2.gt.freiburg   ground-truth trajectory
+# scene2raw converts to .raw on first use; prints ATE/RPE/fps JSON.
+icl-bench:
+	python -m supereight_tpu.apps.runner --dataset icl-lr-traj2 \
+	    --field sdf -v 256
+
+# CI drill for the target above: fabricates a tiny ICL tree and runs the
+# IDENTICAL registry entry + conversion + benchmark + evaluate path
+# (zero-egress stand-in; run by tests/test_runner.py too)
+icl-bench-dry:
+	$(CPU_ENV) python scripts/icl_dry.py
+
 clean:
 	$(MAKE) -C csrc clean

@@ -171,7 +171,10 @@ def run(dataset: str, field: str = "sdf", resolution: int = 256,
         "ate_mean_m": round(ate["mean"], 5),
         "rpe_trans_rmse_m": round(rpe["trans_rmse"], 5),
         "rpe_rot_rmse_deg": round(rpe["rot_rmse_deg"], 4),
-        "mean_computation_s": round(float(cols["computation"][4:].mean()), 5),
+        # skip warmup rows when the run is long enough to have them
+        "mean_computation_s": round(float(
+            cols["computation"][4 if len(cols["computation"]) > 4 else 0:]
+            .mean()), 5),
         "tracked_ratio": round(float(cols["tracked"].mean()), 3),
     }
     if scale_search:

@@ -131,3 +131,19 @@ def test_full_length_fabricated_tum_run(tmp_path, monkeypatch):
     # bootstrap frames (<=3) never count as tracked: 56/60 is perfection
     assert res["tracked_ratio"] > 0.85
     assert res["ate_rmse_m"] < 0.3
+
+
+def test_icl_bench_drill(tmp_path, monkeypatch):
+    """`make icl-bench-dry` (VERDICT r4 item 8): the driver-metric
+    lr-traj2 registry entry runs end-to-end from a fabricated ICL tree
+    through scene2raw -> benchmark -> evaluate in one command."""
+    import subprocess, sys, os, json
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SE_DATASETS=str(tmp_path / "ds"))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "icl_dry.py")],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    res = json.loads(out.stdout)
+    assert res["dataset"] == "icl-lr-traj2" and res["frames"] == 4
+    assert res["fabricated_tree"] is True
