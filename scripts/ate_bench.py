@@ -95,6 +95,8 @@ def main():
     icp_assoc = sys.argv[sys.argv.index("--assoc") + 1] \
         if "--assoc" in sys.argv else "nearest"
     icp_symmetric = "--symmetric" in sys.argv
+    if "--sym-auto" in sys.argv:
+        icp_symmetric = "auto"
 
     # default-flags noise regime (VERDICT r3 item 3): `--bilateral` with
     # no explicit config knobs selects the noise-validated stack exactly
@@ -111,7 +113,7 @@ def main():
                      "--patch", "--w2-budget",
                      "--adaptive-dist",
                      "--robust", "--robust-delta", "--assoc",
-                     "--symmetric"}
+                     "--symmetric", "--sym-auto"}
     auto_regime = bilateral and not (_CONFIG_FLAGS & set(sys.argv))
     if auto_regime:
         field_name, normals, int_rate, near_rescue = \
@@ -236,6 +238,19 @@ def main():
     est = np.concatenate([np.asarray(p) for p in all_ps], axis=0)
     tracked_flags = np.concatenate([np.asarray(t) for t in all_tr], axis=0)
 
+    # estimated per-frame rotation/translation + the sym-auto gate's
+    # firing pattern, reconstructed EXACTLY from the recorded trajectory
+    # (the gate at frame f uses delta(est[f-2] -> est[f-1]))
+    est_rot = np.zeros(len(est), np.float32)
+    est_tr = np.zeros(len(est), np.float32)
+    for i in range(1, len(est)):
+        d = np.linalg.inv(est[i - 1]) @ est[i]
+        c = np.clip((np.trace(d[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+        est_rot[i] = np.degrees(np.arccos(c))
+        est_tr[i] = np.linalg.norm(d[:3, 3])
+    gate_fired = [(0.5 <= est_rot[i - 1] <= 4.5)
+                  for i in range(1, len(est))]
+
     ate = evaluate.ate(list(est), list(poses[:NF]))
     rpe = evaluate.rpe(list(est), list(poses[:NF]))
     # per-frame aligned error profile (diagnosis: transient mistracks vs
@@ -290,6 +305,9 @@ def main():
         "rpe_trans_rmse_m": round(rpe["trans_rmse"], 5),
         "rpe_rot_rmse_deg": round(rpe["rot_rmse_deg"], 3),
         "blocks": int(st.map.n_blocks),
+        "est_rot_med_deg": round(float(np.median(est_rot[1:])), 3),
+        "est_trans_med_m": round(float(np.median(est_tr[1:])), 4),
+        "sym_gate_frames": int(sum(gate_fired)),
         "worst_frame": int(np.argmax(per_frame)),
         "tracked_frames": int(tracked_flags.sum()),
         "overflow": int(st.map.overflow),
@@ -349,7 +367,9 @@ def main():
         mode += f"_rb{icp_robust[0]}{robust_delta:g}"
     if icp_assoc != "nearest":
         mode += "_bl"
-    if icp_symmetric:
+    if icp_symmetric == "auto":
+        mode += "_sya"
+    elif icp_symmetric:
         mode += "_sy"
     if grad_decim > 1:
         mode += f"_gd{grad_decim}"

@@ -171,8 +171,19 @@ class Configuration:
                                            # | "bilinear" (sub-pixel blend
                                            # of 4 reference rows, nearest
                                            # fallback at discontinuities)
-    icp_symmetric: bool = False            # symmetric point-to-plane
-                                           # (normal-bisector residual)
+    icp_symmetric: object = False          # symmetric point-to-plane
+                                           # (normal-bisector residual):
+                                           # False | True | "auto".
+                                           # "auto" engages it in-graph
+                                           # only when the previous
+                                           # frame's rotation sits in
+                                           # [icp_sym_min_deg,
+                                           # icp_sym_max_deg] — measured
+                                           # pure win under moderate
+                                           # rotation, loss under pure
+                                           # translation / fast orbits
+    icp_sym_min_deg: float = 0.5           # auto-gate rotation window
+    icp_sym_max_deg: float = 4.5
 
     def pyramid_levels(self) -> int:
         return len(self.pyramid)
@@ -210,6 +221,16 @@ PRESETS = {
         raycast_normals="hybrid", icp_finest_decimate=2,
         integrate_budget=3072, raycast_scan_stride=1.0,
         incremental_view=True, raycast_near_rescue=False,
+        integration_rate=4,
+    ),
+    # Translation-dominant regime (dolly/corridor motion): the occupancy
+    # quality stack — the only stack that holds the 25 mm/frame dolly
+    # (5.79 cm vs 18-44 for every SDF config tried, r4-r5 chains;
+    # bench_data/ate_icp_ofusion_256_trans_nr_z4).  Selected by the
+    # runner's motion-class dispatcher (apps/runner.py auto_regime).
+    "trans": dict(
+        field_type="ofusion", mu=0.05,
+        raycast_normals="volume", raycast_near_rescue=False,
         integration_rate=4,
     ),
     # Kinect-noise regime: OFusion quality stack, 34-38 fps @ 9.88 cm on

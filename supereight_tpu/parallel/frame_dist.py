@@ -121,7 +121,8 @@ def make_process_frame_sharded(
         grad_decim: int = 1, near_rescue: bool = True,
         adaptive_deg: float = 0.0, adaptive_dist: float = 0.12,
         icp_robust: str = "none", icp_robust_delta: float = 0.01,
-        icp_assoc: str = "nearest", icp_symmetric: bool = False,
+        icp_assoc: str = "nearest", icp_symmetric=False,
+        icp_sym_min_deg: float = 0.5, icp_sym_max_deg: float = 4.5,
         max_visible_per_device: int = 1024,
         axis: str = MAP_AXIS, _skip: frozenset = frozenset()):
     """Build ``step(state, depth_mm, k, frame, gt_pose, *, use_gt, neg_y)``
@@ -190,13 +191,22 @@ def make_process_frame_sharded(
                 st = st.replace(pose=gt_pose, tracked=jnp.ones((), bool))
             else:
                 do_track = (frame % tracking_rate) == 0
+                sym = icp_symmetric
+                if icp_symmetric == "auto":
+                    # replicated pure function of replicated state -> the
+                    # gate fires identically on every device (same
+                    # discipline as the alloc gates below)
+                    from supereight_tpu.pipeline.system import \
+                        _sym_auto_gate
+                    sym = _sym_auto_gate(st, icp_sym_min_deg,
+                                         icp_sym_max_deg)
                 new_pose, ok, result = tracking.track(
                     st.pose, depths, vertices, norms_pyr, st.ref_vertex,
                     st.ref_normal, st.raycast_pose, k, iterations,
                     icp_threshold, finest_decimate=finest_decimate,
                     shard=(axis, n_dev),
                     robust=icp_robust, robust_delta=icp_robust_delta,
-                    assoc=icp_assoc, symmetric=icp_symmetric)
+                    assoc=icp_assoc, symmetric=sym)
                 if finest_rows % n_dev == 0:
                     # finest level ran strip-sharded: result is this
                     # device's strip — reassemble the full status image
@@ -205,7 +215,9 @@ def make_process_frame_sharded(
                     pose=jnp.where(do_track, new_pose, st.pose),
                     tracked=do_track & ok,
                     track_result=jnp.where(do_track, result,
-                                           st.track_result))
+                                           st.track_result),
+                    prev_pose=None if st.prev_pose is None
+                    else jnp.where(do_track, st.pose, st.prev_pose))
 
             # ---- integration: psum'd request masks + deterministic
             # replicated allocation + owner-local fusion ----

@@ -55,6 +55,9 @@ class FrameState(struct.PyTreeNode):
     #: motion-adaptive alloc gate, `alloc_adaptive_deg`)
     alloc_pose: Optional[jnp.ndarray] = None
     alloc_count: Optional[jnp.ndarray] = None
+    #: previous frame's final pose — the per-frame motion signal for the
+    #: in-graph regime gates (icp_symmetric="auto")
+    prev_pose: Optional[jnp.ndarray] = None
 
 
 class DenseSLAMSystem:
@@ -131,6 +134,8 @@ class DenseSLAMSystem:
                 icp_robust_delta=config.icp_robust_delta,
                 icp_assoc=config.icp_assoc,
                 icp_symmetric=config.icp_symmetric,
+                icp_sym_min_deg=config.icp_sym_min_deg,
+                icp_sym_max_deg=config.icp_sym_max_deg,
             ),
             static_argnames=("use_gt", "neg_y"))
         # (no donation here: callers may hold references to earlier states;
@@ -148,7 +153,9 @@ class DenseSLAMSystem:
                 icp_robust=config.icp_robust,
                 icp_robust_delta=config.icp_robust_delta,
                 icp_assoc=config.icp_assoc,
-                icp_symmetric=config.icp_symmetric),
+                icp_symmetric=config.icp_symmetric,
+                icp_sym_min_deg=config.icp_sym_min_deg,
+                icp_sym_max_deg=config.icp_sym_max_deg),
                 static_argnames=("use_gt", "neg_y")),
             "integration": jax.jit(functools.partial(
                 integration_stage, field=self.field,
@@ -187,7 +194,8 @@ class DenseSLAMSystem:
         return self.state.pose
 
     def setPose(self, pose):
-        self.state = self.state.replace(pose=jnp.asarray(pose, jnp.float32))
+        p = jnp.asarray(pose, jnp.float32)
+        self.state = self.state.replace(pose=p, prev_pose=p * 1.0)
 
     def setViewPose(self, pose=None):
         self._view_pose = pose
@@ -347,6 +355,7 @@ def init_state(size: int, dim: float, field, H: int, W: int,
         # (donation aliasing trap, SKILL round-2 note)
         alloc_pose=jnp.asarray(init_pose, jnp.float32) + 0.0,
         alloc_count=jnp.zeros((), jnp.int32),
+        prev_pose=jnp.asarray(init_pose, jnp.float32) * 1.0,
     )
 
 
@@ -374,17 +383,36 @@ def tracking_stage(state: FrameState, k, frame, gt_pose, *, field,
                    icp_robust: str = "none",
                    icp_robust_delta: float = 0.01,
                    icp_assoc: str = "nearest",
-                   icp_symmetric: bool = False) -> FrameState:
+                   icp_symmetric=False,
+                   icp_sym_min_deg: float = 0.5,
+                   icp_sym_max_deg: float = 4.5) -> FrameState:
     """tracking() (`DenseSLAMSystem.cpp:143-189`); ground-truth mode
     bypasses ICP like `mainQt.cpp:257-265`.  The ``icp_*`` knobs are the
     beyond-reference solver levers (robust IRLS weighting, bilinear
-    sub-pixel association, symmetric point-to-plane — tracking.py)."""
+    sub-pixel association, symmetric point-to-plane — tracking.py).
+
+    ``icp_symmetric="auto"`` gates the symmetric residual IN-GRAPH on
+    the previous frame's rotation rate (``state.prev_pose``): the
+    bisector residual measured a pure win under moderate rotation
+    (256^3 base 1.85 -> 1.37 cm, 512^3 base 2.9 -> 1.32, room2, jit)
+    but a LOSS on translation-dominant motion (trans 18 -> 38 cm) and
+    on the fast held-out orbit (r5 chains 27-29) — so it engages only
+    inside the [icp_sym_min_deg, icp_sym_max_deg] per-frame rotation
+    window, falling back to the reference's plain point-to-plane
+    outside it.  The predicate is a replicated pure function of state,
+    so the sharded frame fires identically (frame_dist)."""
     # NegY normal orientation follows fy < 0 (`DenseSLAMSystem.cpp:159-162`)
     depths, vertices, normals = preprocessing.build_pyramid(
         state.scaled_depth, k, len(iterations), neg_y=neg_y)
 
     if use_gt:
-        return state.replace(pose=gt_pose, tracked=jnp.ones((), bool))
+        return state.replace(pose=gt_pose, tracked=jnp.ones((), bool),
+                             prev_pose=None if state.prev_pose is None
+                             else state.pose * 1.0)
+
+    sym = icp_symmetric
+    if icp_symmetric == "auto":
+        sym = _sym_auto_gate(state, icp_sym_min_deg, icp_sym_max_deg)
 
     do_track = (frame % tracking_rate) == 0
     new_pose, ok, result = tracking.track(
@@ -392,11 +420,24 @@ def tracking_stage(state: FrameState, k, frame, gt_pose, *, field,
         state.ref_normal, state.raycast_pose, k, iterations, icp_threshold,
         finest_decimate=finest_decimate,
         robust=icp_robust, robust_delta=icp_robust_delta,
-        assoc=icp_assoc, symmetric=icp_symmetric)
+        assoc=icp_assoc, symmetric=sym)
     return state.replace(
         pose=jnp.where(do_track, new_pose, state.pose),
         tracked=do_track & ok,
-        track_result=jnp.where(do_track, result, state.track_result))
+        track_result=jnp.where(do_track, result, state.track_result),
+        prev_pose=None if state.prev_pose is None
+        else jnp.where(do_track, state.pose, state.prev_pose))
+
+
+def _sym_auto_gate(state: FrameState, min_deg: float, max_deg: float):
+    """Replicated moderate-rotation predicate for icp_symmetric="auto":
+    per-frame rotation angle of the last pose step, from prev_pose."""
+    if state.prev_pose is None:
+        return False
+    dR = state.pose[:3, :3] @ state.prev_pose[:3, :3].T
+    cos_ang = jnp.clip(0.5 * (jnp.trace(dR) - 1.0), -1.0, 1.0)
+    ang = jnp.degrees(jnp.arccos(cos_ang))
+    return (ang >= min_deg) & (ang <= max_deg)
 
 
 def integration_stage(state: FrameState, k, frame, *, field,
@@ -617,7 +658,9 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   icp_robust: str = "none",
                   icp_robust_delta: float = 0.01,
                   icp_assoc: str = "nearest",
-                  icp_symmetric: bool = False) -> FrameState:
+                  icp_symmetric=False,
+                  icp_sym_min_deg: float = 0.5,
+                  icp_sym_max_deg: float = 4.5) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
@@ -629,7 +672,9 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                            icp_robust=icp_robust,
                            icp_robust_delta=icp_robust_delta,
                            icp_assoc=icp_assoc,
-                           icp_symmetric=icp_symmetric)
+                           icp_symmetric=icp_symmetric,
+                           icp_sym_min_deg=icp_sym_min_deg,
+                           icp_sym_max_deg=icp_sym_max_deg)
     state = integration_stage(state, k, frame, field=field,
                               integration_rate=integration_rate,
                               integrate_budget=integrate_budget,

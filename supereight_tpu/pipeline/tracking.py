@@ -115,10 +115,16 @@ def _residuals(proj_vertex, proj_normal, ref_v, ref_n, in_frame,
     result = jnp.where(~in_frame, -2, result)
     result = jnp.where(no_in_normal, -1, result)
 
-    if symmetric:
-        n_c = ref_n + proj_normal
-        nn = jnp.linalg.norm(n_c, axis=-1, keepdims=True)
-        n_c = n_c / jnp.where(nn == 0, 1.0, nn)
+    if symmetric is not False:
+        n_s = ref_n + proj_normal
+        nn = jnp.linalg.norm(n_s, axis=-1, keepdims=True)
+        n_s = n_s / jnp.where(nn == 0, 1.0, nn)
+        if symmetric is True:
+            n_c = n_s
+        else:
+            # traced bool (the motion-gated "auto" mode): both normal
+            # choices are dense elementwise math, so select per frame
+            n_c = jnp.where(symmetric, n_s, ref_n)
     else:
         n_c = ref_n
     error = jnp.sum(n_c * diff, axis=-1)

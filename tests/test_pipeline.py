@@ -118,6 +118,29 @@ class TestSolverLeverKernels:
         w_in = (1 - (0.005 / 0.05) ** 2) ** 2
         np.testing.assert_allclose(float(JTe[0]), 0.005 * w_in, atol=1e-6)
 
+    def test_sym_auto_gate_window(self):
+        """icp_symmetric="auto": the in-graph gate engages only inside
+        the moderate-rotation window (per-frame rotation from
+        prev_pose)."""
+        import jax
+        from supereight_tpu.pipeline import camera
+        from supereight_tpu.pipeline.system import _sym_auto_gate
+
+        class _St:
+            def __init__(self, ang_deg):
+                self.prev_pose = jnp.eye(4, dtype=jnp.float32)
+                tw = jnp.asarray([0, 0, 0, 0, 0,
+                                  np.radians(ang_deg)], jnp.float32)
+                self.pose = camera.se3_exp(tw)
+
+        assert not bool(_sym_auto_gate(_St(0.0), 0.5, 4.5))     # trans-like
+        assert bool(_sym_auto_gate(_St(2.0), 0.5, 4.5))         # moderate
+        assert not bool(_sym_auto_gate(_St(6.0), 0.5, 4.5))     # fast orbit
+        # traced form compiles (the gate runs under jit every frame)
+        g = jax.jit(lambda p, q: _sym_auto_gate(
+            type("S", (), {"pose": p, "prev_pose": q})(), 0.5, 4.5))
+        assert bool(g(_St(2.0).pose, jnp.eye(4, dtype=jnp.float32)))
+
     def test_symmetric_equals_plain_when_normals_agree(self):
         from supereight_tpu.pipeline import tracking
         rng = np.random.default_rng(1)
@@ -261,6 +284,7 @@ class TestSDFPipeline:
         dict(icp_robust="tukey", icp_robust_delta=0.05),
         dict(icp_assoc="bilinear"),
         dict(icp_symmetric=True),
+        dict(icp_symmetric="auto"),
         dict(icp_robust="huber", icp_assoc="bilinear", icp_symmetric=True),
     ])
     def test_solver_levers_track(self, run, knobs):

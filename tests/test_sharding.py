@@ -640,3 +640,44 @@ class TestMultiHost:
         assert multi["n_blocks"] == single["n_blocks"] > 0
         np.testing.assert_allclose(np.asarray(multi["pose"]),
                                    np.asarray(single["pose"]), atol=1e-4)
+
+
+class TestShardedSymAuto:
+    def test_sym_auto_matches_single(self, frames):
+        """icp_symmetric="auto": the motion-gated symmetric residual is a
+        replicated predicate of replicated state (pose/prev_pose) — the
+        sharded frame must fire it identically (1-vs-8 parity)."""
+        from supereight_tpu.parallel import frame_dist
+
+        depths, poses = frames
+        cfg = Configuration(volume_resolution=(64,) * 3,
+                            volume_size=(4.8,) * 3, pyramid=(3, 2, 2),
+                            block_capacity=1024, integration_rate=1,
+                            map_partitions=8)
+        knobs = dict(icp_symmetric="auto", icp_sym_min_deg=0.01)
+        slam = DenseSLAMSystem((H, W), cfg)
+        fn = functools.partial(
+            process_frame, field=slam.field, iterations=slam.iterations,
+            tracking_rate=1, integration_rate=1, bilateral=False,
+            icp_threshold=1e-5, use_gt=False, neg_y=False, **knobs)
+        single = run_frames(slam.state, fn, depths)
+
+        slam2 = DenseSLAMSystem((H, W), cfg)
+        mesh = make_mesh(8)
+        st = frame_dist.frame_sharding(mesh)(slam2.state)
+        step = frame_dist.make_process_frame_sharded(
+            mesh, slam2.field, H, W, iterations=slam2.iterations,
+            normals="volume", max_visible_per_device=256, **knobs)
+        jstep = jax.jit(functools.partial(step, use_gt=False, neg_y=False))
+        for i, d in enumerate(depths):
+            st = jstep(st, jnp.asarray(d), jnp.asarray(K4),
+                       jnp.asarray(i, jnp.int32),
+                       jnp.eye(4, dtype=jnp.float32))
+        sharded = jax.device_get(st)
+
+        assert int(single.map.n_blocks) == int(sharded.map.n_blocks)
+        np.testing.assert_allclose(np.asarray(single.pose),
+                                   np.asarray(sharded.pose), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(single.prev_pose),
+                                   np.asarray(sharded.prev_pose),
+                                   atol=1e-4)
