@@ -97,6 +97,8 @@ def main():
     icp_symmetric = "--symmetric" in sys.argv
     if "--sym-auto" in sys.argv:
         icp_symmetric = "auto"
+    sigma_floor = float(sys.argv[sys.argv.index("--sigma-floor") + 1]) \
+        if "--sigma-floor" in sys.argv else 0.0
 
     # default-flags noise regime (VERDICT r3 item 3): `--bilateral` with
     # no explicit config knobs selects the noise-validated stack exactly
@@ -113,7 +115,7 @@ def main():
                      "--patch", "--w2-budget",
                      "--adaptive-dist",
                      "--robust", "--robust-delta", "--assoc",
-                     "--symmetric", "--sym-auto"}
+                     "--symmetric", "--sym-auto", "--sigma-floor"}
     auto_regime = bilateral and not (_CONFIG_FLAGS & set(sys.argv))
     if auto_regime:
         field_name, normals, int_rate, near_rescue = \
@@ -160,6 +162,7 @@ def main():
                         raycast_scan_stride=scan_stride,
                         raycast_midsolve=midsolve,
                         raycast_near_rescue=near_rescue,
+                        ofusion_sigma_floor=sigma_floor,
                         field_type=field_name)
     slam = DenseSLAMSystem((H, W), cfg)
     slam.setPose(poses[0])
@@ -294,6 +297,7 @@ def main():
         "alloc_adaptive_dist": alloc_adaptive_dist,
         "alloc_on_demand": alloc_on_demand,
         "alloc_on_demand_border": aod_border,
+        "ofusion_sigma_floor": sigma_floor,
         "icp_robust": icp_robust,
         "icp_robust_delta": robust_delta,
         "icp_assoc": icp_assoc,
@@ -363,6 +367,8 @@ def main():
             mode += f"b{aod_border:g}"
     if not coarse_alloc:
         mode += "_eca"
+    if sigma_floor > 0:
+        mode += f"_sgf{sigma_floor:g}"
     if icp_robust != "none":
         mode += f"_rb{icp_robust[0]}{robust_delta:g}"
     if icp_assoc != "nearest":

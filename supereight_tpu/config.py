@@ -161,6 +161,10 @@ class Configuration:
     raycast_coarse_samples: int = 96
     raycast_fine_samples: int = 16
     field_type: str = "sdf"                # "sdf" | "ofusion"
+    ofusion_sigma_floor: float = 0.0       # occupancy sensor-model sigma
+                                           # floor decoupled from voxel
+                                           # size (fields/ofusion.py);
+                                           # 0 = reference 2*voxel_size
     # Beyond-reference ICP solver levers (the reference solve,
     # `tracking.cpp:226-336`, uses hard gates + plain point-to-plane with
     # nearest association; these are descriptor-cheap refinements):
@@ -174,14 +178,34 @@ class Configuration:
     icp_symmetric: object = False          # symmetric point-to-plane
                                            # (normal-bisector residual):
                                            # False | True | "auto".
-                                           # "auto" engages it in-graph
-                                           # only when the previous
-                                           # frame's rotation sits in
-                                           # [icp_sym_min_deg,
-                                           # icp_sym_max_deg] — measured
-                                           # pure win under moderate
-                                           # rotation, loss under pure
-                                           # translation / fast orbits
+                                           # True: sequence-level lever —
+                                           # measured wins on rotation-
+                                           # moderate clean streams
+                                           # (256^3 quality 1.73->1.53,
+                                           # 512^3 base 2.9->1.32, room2,
+                                           # jit) and LOSSES on
+                                           # translation-dominant motion
+                                           # (+20 cm on the dolly) and
+                                           # the fast held-out orbit;
+                                           # adopted per-preset (quality,
+                                           # demo512-sdf), with the
+                                           # runner's motion dispatcher
+                                           # routing dolly streams away.
+                                           # "auto" (per-frame motion
+                                           # gate on prev_pose rotation)
+                                           # measured NO-OP on clean
+                                           # orbits — at sub-mm normal
+                                           # agreement the bisector IS
+                                           # the reference normal, so
+                                           # gate-on frames change
+                                           # nothing (bit-identical
+                                           # trajectories) — and fired
+                                           # exactly on the dolly's
+                                           # jitter frames where it
+                                           # hurts (42 vs 18 cm);
+                                           # kept for the knob surface,
+                                           # not used by any preset
+                                           # (bench_data/*_sya_* r5)
     icp_sym_min_deg: float = 0.5           # auto-gate rotation window
     icp_sym_max_deg: float = 4.5
 
@@ -207,12 +231,16 @@ PRESETS = {
         raycast_scan_stride=1.0, alloc_rate=3, raycast_grad_decim=2,
         integration_rate=1,
     ),
-    # 256^3 SDF quality point: 40.9 fps @ 1.73 cm (full ICP, volume
-    # normals; bench_data/ate_icp_256_nr)
+    # 256^3 SDF quality point: 39.3 fps @ 1.53 cm with the symmetric
+    # point-to-plane residual (full ICP, volume normals;
+    # bench_data/ate_icp_256_sy_nr — plain was 1.73).  Symmetric is a
+    # rotation-moderate-stream lever: the runner's motion dispatcher
+    # reroutes translation-dominant streams (where it costs ATE) to the
+    # "trans" preset
     "quality": dict(
         field_type="sdf",
         raycast_normals="volume", raycast_near_rescue=False,
-        integration_rate=1,
+        integration_rate=1, icp_symmetric=True,
     ),
     # 256^3 OFusion throughput: 64.3 fps @ 2.21 cm
     # (bench_data/ate_icp_ofusion_256_hybrid_id2_ib3072_ss1_iv_nr_z4)
@@ -248,6 +276,9 @@ PRESETS = {
     # room geometry (3.8 cm) and the translation dolly (7.3 cm, beats
     # the reference's 12.3) from the half-res stack's divergence
     # (bench_data/ate_icp_512_*fr*; chain-26 bisect)
+    # (symmetric ICP: 512^3 base 2.90 -> 1.32 cm, room2 3.84 -> 3.09;
+    # translation-dominant streams lose with it and are the dispatcher's
+    # job — plain z1 holds the dolly at 7.3 cm if pinned manually)
     "demo512-sdf": dict(
         field_type="sdf",
         volume_resolution=(512, 512, 512),
@@ -255,7 +286,7 @@ PRESETS = {
         raycast_normals="hybrid", icp_finest_decimate=2,
         raycast_scan_stride=1.0, raycast_grad_decim=2,
         incremental_view=True, raycast_full_res_scan=True,
-        integration_rate=1,
+        integration_rate=1, icp_symmetric=True,
     ),
     # 512^3 OFusion demo scale: the never-failed allocation gate
     # (on-demand 0.01), 32 fps @ 2.26 cm, room2 9.7 / alt 15.1 / jit 3.7

@@ -52,6 +52,14 @@ class OFusionField:
     name: str = "ofusion"
     mu: float = 0.008                # noiseFactor (Makefile:42 demo: 0.008)
     voxel_size: float = 0.01875      # set by the pipeline at construction
+    #: TPU extension: lower bound on the sensor-model sigma DECOUPLED
+    #: from voxel size.  The reference floor is 2*voxel_size
+    #: (`mapping_impl.hpp:163`), which halves at every resolution
+    #: doubling — at 512^3 (9.4 mm voxels) single-voxel sensor noise
+    #: flips log-odds signs and occupancy ICP loses every frame on the
+    #: Kinect-noise sequence (bench_data, r4).  0.0 = reference
+    #: semantics; ~0.0375 restores the 256^3 floor at finer grids.
+    sigma_floor: float = 0.0
 
     select_channel: str = "occupancy"
     invert_normals: bool = False
@@ -82,7 +90,7 @@ class OFusionField:
         # reference clamp is max(lo, min(v, hi)) (`math_utils.h:101-103`):
         # when 2*voxel_size > 0.05 (coarse maps) the LOWER bound wins,
         # unlike jnp.clip — mirror it exactly
-        sigma = jnp.maximum(2.0 * self.voxel_size,
+        sigma = jnp.maximum(max(2.0 * self.voxel_size, self.sigma_floor),
                             jnp.minimum(self.mu * z * z, 0.05))
         sample = h_occupancy(diff / sigma)
         do = valid & (depth_sample > 0) & (sample != 0.5)

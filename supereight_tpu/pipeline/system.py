@@ -81,7 +81,8 @@ class DenseSLAMSystem:
             self.field = make_field("sdf", mu=config.mu)
         else:
             self.field = make_field("ofusion", mu=config.mu,
-                                    voxel_size=voxel_size)
+                                    voxel_size=voxel_size,
+                                    sigma_floor=config.ofusion_sigma_floor)
 
         init_t = jnp.asarray([
             config.initial_pos_factor[0] * config.volume_size[0],
