@@ -99,6 +99,7 @@ def main():
         icp_symmetric = "auto"
     sigma_floor = float(sys.argv[sys.argv.index("--sigma-floor") + 1]) \
         if "--sigma-floor" in sys.argv else 0.0
+    bootstrap = _intflag("--bootstrap", 3)
 
     # default-flags noise regime (VERDICT r3 item 3): `--bilateral` with
     # no explicit config knobs selects the noise-validated stack exactly
@@ -115,7 +116,8 @@ def main():
                      "--patch", "--w2-budget",
                      "--adaptive-dist",
                      "--robust", "--robust-delta", "--assoc",
-                     "--symmetric", "--sym-auto", "--sigma-floor"}
+                     "--symmetric", "--sym-auto", "--sigma-floor",
+                     "--bootstrap"}
     auto_regime = bilateral and not (_CONFIG_FLAGS & set(sys.argv))
     if auto_regime:
         field_name, normals, int_rate, near_rescue = \
@@ -192,7 +194,8 @@ def main():
                            icp_robust=icp_robust,
                            icp_robust_delta=robust_delta,
                            icp_assoc=icp_assoc,
-                           icp_symmetric=icp_symmetric)
+                           icp_symmetric=icp_symmetric,
+                           bootstrap_frames=bootstrap)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -200,7 +203,11 @@ def main():
     def scan_step(state, inp):
         depth, frame, gt = inp
         state = fn(state, depth, k_dev, frame, gt)
-        return state, (state.pose, state.tracked)
+        # per-frame ICP status-code histogram (codes 1, -1..-5 of the
+        # finest level's last iteration) — the failure-mode diagnostic
+        codes = jnp.stack([jnp.sum(state.track_result == c)
+                           for c in (1, -1, -2, -3, -4, -5)])
+        return state, (state.pose, state.tracked, codes)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_chunk(state, depth_chunk, frame0, gts):
@@ -227,19 +234,22 @@ def main():
     # restores the old draining harness for A/B.
     all_ps = [ps[0]]
     all_tr = [ps[1]]
+    all_cd = [ps[2]]
     t0 = time.perf_counter()
     for s in range(CHUNK, NF, CHUNK):
         st, ps = run_chunk(st, depths_dev[s:s + CHUNK],
                            jnp.asarray(s, jnp.int32), gt_dev[s:s + CHUNK])
         if sync_fetch:
-            ps = (np.asarray(ps[0]), np.asarray(ps[1]))
+            ps = tuple(np.asarray(p) for p in ps)
         all_ps.append(ps[0])
         all_tr.append(ps[1])
+        all_cd.append(ps[2])
     np.asarray(st.pose)
     dt = time.perf_counter() - t0
     fps = (NF - CHUNK) / dt
     est = np.concatenate([np.asarray(p) for p in all_ps], axis=0)
     tracked_flags = np.concatenate([np.asarray(t) for t in all_tr], axis=0)
+    code_hist = np.concatenate([np.asarray(c) for c in all_cd], axis=0)
 
     # estimated per-frame rotation/translation + the sym-auto gate's
     # firing pattern, reconstructed EXACTLY from the recorded trajectory
@@ -298,6 +308,7 @@ def main():
         "alloc_on_demand": alloc_on_demand,
         "alloc_on_demand_border": aod_border,
         "ofusion_sigma_floor": sigma_floor,
+        "bootstrap_frames": bootstrap,
         "icp_robust": icp_robust,
         "icp_robust_delta": robust_delta,
         "icp_assoc": icp_assoc,
@@ -319,6 +330,11 @@ def main():
     if "--dump-traj" in sys.argv:
         rec["per_frame_err_m"] = [round(float(e), 4) for e in per_frame]
         rec["tracked"] = [int(t) for t in tracked_flags]
+        rec["track_codes"] = {
+            name: [int(v) for v in code_hist[:, i]]
+            for i, name in enumerate(
+                ("ok", "no_input_normal", "out_of_frame",
+                 "no_ref_normal", "too_far", "bad_normal"))}
         rec["est_xyz"] = [[round(float(v), 4) for v in p]
                           for p in est[:, :3, 3]]
     if "--save-map" in sys.argv:
@@ -369,6 +385,8 @@ def main():
         mode += "_eca"
     if sigma_floor > 0:
         mode += f"_sgf{sigma_floor:g}"
+    if bootstrap != 3:
+        mode += f"_bs{bootstrap}"
     if icp_robust != "none":
         mode += f"_rb{icp_robust[0]}{robust_delta:g}"
     if icp_assoc != "nearest":

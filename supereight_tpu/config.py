@@ -161,6 +161,16 @@ class Configuration:
     raycast_coarse_samples: int = 96
     raycast_fine_samples: int = 16
     field_type: str = "sdf"                # "sdf" | "ofusion"
+    bootstrap_frames: int = 3              # integrate-while-untracked
+                                           # window (reference parity:
+                                           # `_tracked || frame <= 3`,
+                                           # kernels.cpp).  Fine-voxel +
+                                           # noise streams need a longer
+                                           # averaging window before the
+                                           # first ICP lock (512^3 noisy
+                                           # diagnosis r5: the frame-4
+                                           # map yields 857 inlier px vs
+                                           # 24k at 256^3)
     ofusion_sigma_floor: float = 0.0       # occupancy sensor-model sigma
                                            # floor decoupled from voxel
                                            # size (fields/ofusion.py);

@@ -109,6 +109,7 @@ def _stub(m):
 def make_process_frame_sharded(
         mesh: Mesh, field, H: int, W: int, *,
         iterations, tracking_rate: int = 1, integration_rate: int = 1,
+        bootstrap_frames: int = 3,
         bilateral: bool = False, icp_threshold: float = 1e-5,
         normals: str = "hybrid", second_window: bool = True,
         span_factor: float = 1.6, refine: str = "secant",
@@ -222,8 +223,9 @@ def make_process_frame_sharded(
             # ---- integration: psum'd request masks + deterministic
             # replicated allocation + owner-local fusion ----
             m0 = st.map
-            do_integrate = (st.tracked | (frame <= 3)) & \
-                (((frame % integration_rate) == 0) | (frame <= 3))
+            do_integrate = (st.tracked | (frame <= bootstrap_frames)) & \
+                (((frame % integration_rate) == 0)
+                 | (frame <= bootstrap_frames))
             K = camera.camera_matrix(k)
             timestamp = (1.0 / 30.0) * frame.astype(jnp.float32)
             T_cw = jnp.linalg.inv(st.pose)

@@ -137,6 +137,7 @@ class DenseSLAMSystem:
                 icp_symmetric=config.icp_symmetric,
                 icp_sym_min_deg=config.icp_sym_min_deg,
                 icp_sym_max_deg=config.icp_sym_max_deg,
+                bootstrap_frames=config.bootstrap_frames,
             ),
             static_argnames=("use_gt", "neg_y"))
         # (no donation here: callers may hold references to earlier states;
@@ -161,6 +162,7 @@ class DenseSLAMSystem:
             "integration": jax.jit(functools.partial(
                 integration_stage, field=self.field,
                 integration_rate=config.integration_rate,
+                bootstrap_frames=config.bootstrap_frames,
                 integrate_budget=config.integrate_budget,
                 alloc_stride=config.alloc_stride,
                 alloc_rate=config.alloc_rate,
@@ -443,6 +445,7 @@ def _sym_auto_gate(state: FrameState, min_deg: float, max_deg: float):
 
 def integration_stage(state: FrameState, k, frame, *, field,
                       integration_rate,
+                      bootstrap_frames: int = 3,
                       integrate_budget: int = 0,
                       alloc_stride: float = 1.0,
                       alloc_rate: int = 1,
@@ -472,8 +475,8 @@ def integration_stage(state: FrameState, k, frame, *, field,
     whose occlusions keep revealing new surface (measured: ar16 holds
     2.48 cm on the bench orbit but loses room2 at 40 cm while the
     every-firing march holds 9.4 cm there)."""
-    do_integrate = (state.tracked | (frame <= 3)) & \
-        (((frame % integration_rate) == 0) | (frame <= 3))
+    do_integrate = (state.tracked | (frame <= bootstrap_frames)) & \
+        (((frame % integration_rate) == 0) | (frame <= bootstrap_frames))
     K = camera.camera_matrix(k)
     timestamp = (1.0 / 30.0) * frame.astype(jnp.float32)
     float_depth = state.float_depth
@@ -661,7 +664,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   icp_assoc: str = "nearest",
                   icp_symmetric=False,
                   icp_sym_min_deg: float = 0.5,
-                  icp_sym_max_deg: float = 4.5) -> FrameState:
+                  icp_sym_max_deg: float = 4.5,
+                  bootstrap_frames: int = 3) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
@@ -678,6 +682,7 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                            icp_sym_max_deg=icp_sym_max_deg)
     state = integration_stage(state, k, frame, field=field,
                               integration_rate=integration_rate,
+                              bootstrap_frames=bootstrap_frames,
                               integrate_budget=integrate_budget,
                               alloc_stride=alloc_stride,
                               alloc_rate=alloc_rate,
