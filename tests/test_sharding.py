@@ -681,3 +681,45 @@ class TestShardedSymAuto:
         np.testing.assert_allclose(np.asarray(single.prev_pose),
                                    np.asarray(sharded.prev_pose),
                                    atol=1e-4)
+
+
+def test_knob_surface_parity_is_pinned():
+    """VERDICT r4 weak-5: every single-chip process_frame knob must be
+    either plumbed through the sharded frame or EXPLICITLY listed here
+    with its reason — adding a new knob to one surface only fails this
+    test instead of silently drifting."""
+    import inspect
+    from supereight_tpu.pipeline.system import process_frame
+    from supereight_tpu.parallel.frame_dist import \
+        make_process_frame_sharded
+
+    call_args = {"state", "depth_mm", "k", "frame", "gt_pose",
+                 "use_gt", "neg_y"}           # per-call, not knobs
+    infra = {"mesh", "H", "W", "axis", "_skip",
+             "max_visible_per_device"}        # sharded-frame plumbing
+    documented_excluded = {
+        # per-device capacity streaming IS the compaction (frame_dist
+        # docstring); a budget knob would fight the owner partitioning
+        "integrate_budget",
+        # fusion depth-patch decimation: sharded fusion reuses the
+        # single-chip kernel default; measured ATE-negative to change
+        # (bench_data *_pt32)
+        "integrate_patch",
+        # fixed-rate refresh is superseded by the motion gate
+        # (adaptive_deg/adaptive_dist, which ARE plumbed)
+        "raycast_rate",
+        # occupancy coarse-zone march decimation + per-pixel scan mode:
+        # single-chip tuning knobs, reference-exact defaults here
+        "coarse_alloc", "full_res_scan",
+    }
+    pf = set(inspect.signature(process_frame).parameters) - call_args
+    sh = set(inspect.signature(make_process_frame_sharded).parameters) \
+        - infra
+    missing = pf - sh - documented_excluded
+    assert not missing, (
+        f"new single-chip knob(s) {sorted(missing)} not plumbed through "
+        f"the sharded frame and not documented as excluded")
+    stale = documented_excluded & sh
+    assert not stale, f"exclusion list stale: {sorted(stale)} now plumbed"
+    extra = sh - pf
+    assert not extra, f"sharded-only knobs {sorted(extra)} unknown"
