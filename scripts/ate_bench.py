@@ -100,6 +100,7 @@ def main():
     sigma_floor = float(sys.argv[sys.argv.index("--sigma-floor") + 1]) \
         if "--sigma-floor" in sys.argv else 0.0
     bootstrap = _intflag("--bootstrap", 3)
+    fuse_filtered = "--fuse-filtered" in sys.argv
 
     # default-flags noise regime (VERDICT r3 item 3): `--bilateral` with
     # no explicit config knobs selects the noise-validated stack exactly
@@ -117,7 +118,7 @@ def main():
                      "--adaptive-dist",
                      "--robust", "--robust-delta", "--assoc",
                      "--symmetric", "--sym-auto", "--sigma-floor",
-                     "--bootstrap"}
+                     "--bootstrap", "--fuse-filtered"}
     auto_regime = bilateral and not (_CONFIG_FLAGS & set(sys.argv))
     if auto_regime:
         field_name, normals, int_rate, near_rescue = \
@@ -195,7 +196,8 @@ def main():
                            icp_robust_delta=robust_delta,
                            icp_assoc=icp_assoc,
                            icp_symmetric=icp_symmetric,
-                           bootstrap_frames=bootstrap)
+                           bootstrap_frames=bootstrap,
+                           fuse_filtered=fuse_filtered)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -309,6 +311,7 @@ def main():
         "alloc_on_demand_border": aod_border,
         "ofusion_sigma_floor": sigma_floor,
         "bootstrap_frames": bootstrap,
+        "fuse_filtered": fuse_filtered,
         "icp_robust": icp_robust,
         "icp_robust_delta": robust_delta,
         "icp_assoc": icp_assoc,
@@ -387,6 +390,8 @@ def main():
         mode += f"_sgf{sigma_floor:g}"
     if bootstrap != 3:
         mode += f"_bs{bootstrap}"
+    if fuse_filtered:
+        mode += "_ff"
     if icp_robust != "none":
         mode += f"_rb{icp_robust[0]}{robust_delta:g}"
     if icp_assoc != "nearest":

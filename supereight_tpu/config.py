@@ -171,6 +171,11 @@ class Configuration:
                                            # diagnosis r5: the frame-4
                                            # map yields 857 inlier px vs
                                            # 24k at 256^3)
+    fuse_filtered: bool = False            # fuse the bilateral-filtered
+                                           # depth instead of raw (the
+                                           # reference fuses raw; see
+                                           # integration_stage note —
+                                           # a fine-voxel noise lever)
     ofusion_sigma_floor: float = 0.0       # occupancy sensor-model sigma
                                            # floor decoupled from voxel
                                            # size (fields/ofusion.py);
@@ -310,14 +315,20 @@ PRESETS = {
         alloc_on_demand=0.01, raycast_near_rescue=False,
         integration_rate=4,
     ),
-    # 1024^3 (beyond the reference's shipped scales): OFusion quality,
-    # 7.9 fps @ 4.55 cm, 174k blocks, zero overflow
-    # (bench_data/ate_icp_ofusion_1024_ib98304_nr_z4)
+    # 1024^3 (beyond the reference's shipped scales): OFusion quality +
+    # the r5 frontier levers — 12.4 fps @ 2.97 cm base, 5.14 room2,
+    # 6.46 jit, 92/96 everywhere, zero overflow (chains 37-38;
+    # bench_data/ate_icp_ofusion_1024_id2_ib98304_ss1_aad16x0.3_iv_nr_z4).
+    # The frame is descriptor-roofline-bound by the coarse raycast scan
+    # (~71 of 119 ms at 7.4M descriptors — speed-of-light)
     "1024-quality": dict(
         field_type="ofusion", mu=0.05,
         volume_resolution=(1024, 1024, 1024),
-        block_capacity=98304, integrate_budget=98304,
+        block_capacity=196608, integrate_budget=98304,
         raycast_normals="volume", raycast_near_rescue=False,
+        icp_finest_decimate=2, raycast_scan_stride=1.0,
+        incremental_view=True,
+        alloc_adaptive_deg=16.0, alloc_adaptive_dist=0.3,
         integration_rate=4,
     ),
 }

@@ -109,7 +109,7 @@ def _stub(m):
 def make_process_frame_sharded(
         mesh: Mesh, field, H: int, W: int, *,
         iterations, tracking_rate: int = 1, integration_rate: int = 1,
-        bootstrap_frames: int = 3,
+        bootstrap_frames: int = 3, fuse_filtered: bool = False,
         bilateral: bool = False, icp_threshold: float = 1e-5,
         normals: str = "hybrid", second_window: bool = True,
         span_factor: float = 1.6, refine: str = "secant",
@@ -230,6 +230,9 @@ def make_process_frame_sharded(
             timestamp = (1.0 / 30.0) * frame.astype(jnp.float32)
             T_cw = jnp.linalg.inv(st.pose)
             band = field.alloc_band()
+            # same depth-source selection as integration_stage
+            fuse_depth = st.scaled_depth if fuse_filtered \
+                else st.float_depth
             gate = do_integrate  # replicated predicate; masks, not conds
             # alloc_rate / the motion-adaptive alloc gate: skip the march
             # on off frames (masked, so the collective schedule stays
@@ -239,7 +242,7 @@ def make_process_frame_sharded(
                 # data-driven gate: replicated block_index + depth ->
                 # identical predicate on every device
                 frac = integration.unallocated_fraction(
-                    m0, st.float_depth, st.pose, K,
+                    m0, fuse_depth, st.pose, K,
                     border=alloc_on_demand_border)
                 alloc_gate = gate & ((frac > alloc_on_demand)
                                      | (frame <= 5))
@@ -265,7 +268,7 @@ def make_process_frame_sharded(
                 # same dither phase as the single-device frame
                 # (replicated firing counter), so 1-vs-8 stays bit-exact
                 masks = integration.ofusion_wanted_masks(
-                    m0, st.float_depth, st.pose, K, band,
+                    m0, fuse_depth, st.pose, K, band,
                     row_share=(dev, n_dev), phase=a_count)
                 masks = [jax.lax.psum(mk.astype(jnp.int32), axis) > 0
                          for mk in masks]
@@ -273,9 +276,9 @@ def make_process_frame_sharded(
                 m1 = octree.allocate_octant_masks(m0, masks)
             else:
                 decim = integration._alloc_decimation(
-                    m0, st.float_depth.shape)
+                    m0, fuse_depth.shape)
                 wanted = integration.sdf_wanted_mask(
-                    st.float_depth, st.pose, K, size=m0.size, dim=m0.dim,
+                    fuse_depth, st.pose, K, size=m0.size, dim=m0.dim,
                     band=band, decim=decim, stride=alloc_stride,
                     row_share=(dev, n_dev))
                 wanted = jax.lax.psum(wanted.astype(jnp.int32), axis) > 0
@@ -291,7 +294,7 @@ def make_process_frame_sharded(
                                                         cap_d, 0)
                 rows, visible_loc = integration.fuse_rows(
                     field, bc_loc, live_loc & gate, vox_local,
-                    st.float_depth, T_cw, K, timestamp, vs)
+                    fuse_depth, T_cw, K, timestamp, vs)
                 vox_local = {name: jnp.where(gate, rows[name],
                                              vox_local[name])
                              for name in vox_local}
@@ -302,7 +305,7 @@ def make_process_frame_sharded(
                 m1 = m1.replace(active=active)
             if "nodes" not in _skip:
                 # coarse node updates: replicated metadata, identical result
-                m2 = integration._update_nodes(m1, field, st.float_depth,
+                m2 = integration._update_nodes(m1, field, fuse_depth,
                                                T_cw, K, timestamp)
                 m1 = jax.tree.map(lambda a, b: jnp.where(gate, b, a), m1, m2)
             st = st.replace(

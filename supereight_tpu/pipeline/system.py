@@ -138,6 +138,7 @@ class DenseSLAMSystem:
                 icp_sym_min_deg=config.icp_sym_min_deg,
                 icp_sym_max_deg=config.icp_sym_max_deg,
                 bootstrap_frames=config.bootstrap_frames,
+                fuse_filtered=config.fuse_filtered,
             ),
             static_argnames=("use_gt", "neg_y"))
         # (no donation here: callers may hold references to earlier states;
@@ -446,6 +447,7 @@ def _sym_auto_gate(state: FrameState, min_deg: float, max_deg: float):
 def integration_stage(state: FrameState, k, frame, *, field,
                       integration_rate,
                       bootstrap_frames: int = 3,
+                      fuse_filtered: bool = False,
                       integrate_budget: int = 0,
                       alloc_stride: float = 1.0,
                       alloc_rate: int = 1,
@@ -479,7 +481,12 @@ def integration_stage(state: FrameState, k, frame, *, field,
         (((frame % integration_rate) == 0) | (frame <= bootstrap_frames))
     K = camera.camera_matrix(k)
     timestamp = (1.0 / 30.0) * frame.astype(jnp.float32)
-    float_depth = state.float_depth
+    # fuse_filtered (TPU extension; reference fuses RAW depth,
+    # `DenseSLAMSystem.cpp:206+` floatDepth): fuse the bilateral-filtered
+    # depth instead — at voxel sizes below the sensor noise floor the raw
+    # noise IS the map, and the model-map surface a fine-voxel bootstrap
+    # raycasts can be too rough for the first ICP lock
+    float_depth = state.scaled_depth if fuse_filtered else state.float_depth
     pose = state.pose
     alloc_count = state.alloc_count if state.alloc_count is not None \
         else frame // max(alloc_rate, integration_rate, 1)
@@ -665,7 +672,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   icp_symmetric=False,
                   icp_sym_min_deg: float = 0.5,
                   icp_sym_max_deg: float = 4.5,
-                  bootstrap_frames: int = 3) -> FrameState:
+                  bootstrap_frames: int = 3,
+                  fuse_filtered: bool = False) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
@@ -683,6 +691,7 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
     state = integration_stage(state, k, frame, field=field,
                               integration_rate=integration_rate,
                               bootstrap_frames=bootstrap_frames,
+                              fuse_filtered=fuse_filtered,
                               integrate_budget=integrate_budget,
                               alloc_stride=alloc_stride,
                               alloc_rate=alloc_rate,
