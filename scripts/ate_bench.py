@@ -101,6 +101,8 @@ def main():
         if "--sigma-floor" in sys.argv else 0.0
     bootstrap = _intflag("--bootstrap", 3)
     fuse_filtered = "--fuse-filtered" in sys.argv
+    rc_from = _intflag("--rc-from", 3)
+    bootstrap_f2f = "--f2f" in sys.argv
 
     # default-flags noise regime (VERDICT r3 item 3): `--bilateral` with
     # no explicit config knobs selects the noise-validated stack exactly
@@ -118,7 +120,8 @@ def main():
                      "--adaptive-dist",
                      "--robust", "--robust-delta", "--assoc",
                      "--symmetric", "--sym-auto", "--sigma-floor",
-                     "--bootstrap", "--fuse-filtered"}
+                     "--bootstrap", "--fuse-filtered", "--rc-from",
+                     "--f2f"}
     auto_regime = bilateral and not (_CONFIG_FLAGS & set(sys.argv))
     if auto_regime:
         field_name, normals, int_rate, near_rescue = \
@@ -197,7 +200,9 @@ def main():
                            icp_assoc=icp_assoc,
                            icp_symmetric=icp_symmetric,
                            bootstrap_frames=bootstrap,
-                           fuse_filtered=fuse_filtered)
+                           fuse_filtered=fuse_filtered,
+                           raycast_from_frame=rc_from,
+                           bootstrap_f2f=bootstrap_f2f)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -312,6 +317,8 @@ def main():
         "ofusion_sigma_floor": sigma_floor,
         "bootstrap_frames": bootstrap,
         "fuse_filtered": fuse_filtered,
+        "raycast_from_frame": rc_from,
+        "bootstrap_f2f": bootstrap_f2f,
         "icp_robust": icp_robust,
         "icp_robust_delta": robust_delta,
         "icp_assoc": icp_assoc,
@@ -392,6 +399,10 @@ def main():
         mode += f"_bs{bootstrap}"
     if fuse_filtered:
         mode += "_ff"
+    if rc_from != 3:
+        mode += f"_rcf{rc_from}"
+    if bootstrap_f2f:
+        mode += "_f2f"
     if icp_robust != "none":
         mode += f"_rb{icp_robust[0]}{robust_delta:g}"
     if icp_assoc != "nearest":

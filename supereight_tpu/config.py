@@ -171,6 +171,25 @@ class Configuration:
                                            # diagnosis r5: the frame-4
                                            # map yields 857 inlier px vs
                                            # 24k at 256^3)
+    bootstrap_f2f: bool = False            # frame-to-frame bootstrap
+                                           # tracking: before the first
+                                           # model raycast, the previous
+                                           # frame's input vertex/normal
+                                           # maps serve as the reference
+                                           # model (the reference leaves
+                                           # those frames untracked and
+                                           # smears the bootstrap map —
+                                           # fatal at fine voxels under
+                                           # noise; raycasting_stage)
+    raycast_from_frame: int = 3            # first reference-map refresh
+                                           # (reference parity: 3, i.e.
+                                           # `frame > 2`; 1 = refresh
+                                           # right after the frame-0
+                                           # bootstrap integration so
+                                           # frame-1 tracking sees a
+                                           # model map and the
+                                           # untracked-bootstrap pose
+                                           # smear never accumulates)
     fuse_filtered: bool = False            # fuse the bilateral-filtered
                                            # depth instead of raw (the
                                            # reference fuses raw; see

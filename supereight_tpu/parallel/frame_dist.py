@@ -110,6 +110,7 @@ def make_process_frame_sharded(
         mesh: Mesh, field, H: int, W: int, *,
         iterations, tracking_rate: int = 1, integration_rate: int = 1,
         bootstrap_frames: int = 3, fuse_filtered: bool = False,
+        raycast_from_frame: int = 3, bootstrap_f2f: bool = False,
         bilateral: bool = False, icp_threshold: float = 1e-5,
         normals: str = "hybrid", second_window: bool = True,
         span_factor: float = 1.6, refine: str = "secant",
@@ -318,7 +319,7 @@ def make_process_frame_sharded(
             # ---- raycast: frustum-limited brick exchange + strip scan ----
             if "raycast" in _skip:
                 return st.replace(map=st.map.replace(voxels=vox_local))
-            do_raycast = frame > 2
+            do_raycast = frame >= raycast_from_frame
             if adaptive_deg > 0.0:
                 # motion-adaptive refresh gate (raycasting_stage parity):
                 # replicated predicate -> every device takes the same
@@ -364,6 +365,17 @@ def make_process_frame_sharded(
 
             ref_v, ref_n, rc_pose, n_drop = jax.lax.cond(
                 do_raycast, raycast_branch, skip_branch, None)
+            if bootstrap_f2f:
+                # frame-to-frame bootstrap (raycasting_stage parity):
+                # replicated dense math on replicated state
+                in_bs = (~do_raycast) & (frame < raycast_from_frame)
+                w_v = camera.transform_points(st.pose, vertices[0])
+                w_n = camera.rotate_vectors(st.pose, norms_pyr[0])
+                inval = norms_pyr[0][..., 0] == -2.0
+                w_n = jnp.where(inval[..., None], norms_pyr[0], w_n)
+                ref_v = jnp.where(in_bs, w_v, ref_v)
+                ref_n = jnp.where(in_bs, w_n, ref_n)
+                rc_pose = jnp.where(in_bs, st.pose, rc_pose)
             st = st.replace(
                 ref_vertex=ref_v, ref_normal=ref_n, raycast_pose=rc_pose,
                 # frustum-overflow diagnostic (no silent caps): visible

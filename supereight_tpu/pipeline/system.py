@@ -139,6 +139,8 @@ class DenseSLAMSystem:
                 icp_sym_max_deg=config.icp_sym_max_deg,
                 bootstrap_frames=config.bootstrap_frames,
                 fuse_filtered=config.fuse_filtered,
+                raycast_from_frame=config.raycast_from_frame,
+                bootstrap_f2f=config.bootstrap_f2f,
             ),
             static_argnames=("use_gt", "neg_y"))
         # (no donation here: callers may hold references to earlier states;
@@ -186,7 +188,9 @@ class DenseSLAMSystem:
                 near_rescue=config.raycast_near_rescue,
                 midsolve=config.raycast_midsolve,
                 adaptive_deg=config.raycast_adaptive_deg,
-                adaptive_dist=config.raycast_adaptive_dist)),
+                adaptive_dist=config.raycast_adaptive_dist,
+                raycast_from_frame=config.raycast_from_frame,
+                bootstrap_f2f=config.bootstrap_f2f)),
         }
 
     # ---- reference-parity accessors ----
@@ -588,7 +592,10 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                      midsolve: bool = False,
                      near_rescue: bool = True,
                      adaptive_deg: float = 0.0,
-                     adaptive_dist: float = 0.12) -> FrameState:
+                     adaptive_dist: float = 0.12,
+                     raycast_from_frame: int = 3,
+                     bootstrap_f2f: bool = False,
+                     neg_y: bool = False) -> FrameState:
     """raycasting() (`DenseSLAMSystem.cpp:191-204`): refresh the reference
     model maps from the current pose (only after the bootstrap frames).
 
@@ -604,7 +611,11 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
     space instead of frame count, so the amortization adapts to the
     trajectory; the skipped raycast costs nothing (`lax.cond`)."""
     H, W = state.float_depth.shape
-    do_raycast = frame > 2
+    # first refresh at frame raycast_from_frame (reference parity: 3 —
+    # `kernels.cpp` raycasts when frame > 2).  1 = refresh right after
+    # the frame-0 bootstrap integration, so frame-1 tracking sees a real
+    # model map and the untracked-bootstrap pose smear never happens
+    do_raycast = frame >= raycast_from_frame
     if adaptive_deg > 0.0:
         dR = state.pose[:3, :3] @ state.raycast_pose[:3, :3].T
         cos_ang = 0.5 * (jnp.trace(dR) - 1.0)
@@ -636,6 +647,28 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
     ref_vertex, ref_normal, raycast_pose = jax.lax.cond(
         do_raycast, raycast_fn, skip_fn,
         (state.map, state.pose, state.grad, state.view))
+
+    if bootstrap_f2f:
+        # frame-to-frame bootstrap (beyond-reference): before the first
+        # model raycast, publish THIS frame's input vertex/normal maps
+        # (world space) as the reference model, so the NEXT frame's ICP
+        # tracks frame-to-frame instead of failing against invalid maps.
+        # The reference leaves frames 1..raycast_from_frame-1 untracked
+        # and fuses them at a frozen pose — a double-exposure smear that
+        # a 9 mm-voxel field under sensor noise cannot absorb (512^3
+        # noisy first-lock diagnosis, r5: a 2-frame map built at correct
+        # poses raycasts 47% valid / 5.5 mm median error while the
+        # smeared closed-loop map yields 16% / 857 inlier px).
+        in_bootstrap = (~do_raycast) & (frame < raycast_from_frame)
+        _, v0, n0 = preprocessing.build_pyramid(state.scaled_depth, k, 1,
+                                                neg_y=neg_y)
+        w_v = camera.transform_points(state.pose, v0[0])
+        w_n = camera.rotate_vectors(state.pose, n0[0])
+        invalid = n0[0][..., 0] == INVALID
+        w_n = jnp.where(invalid[..., None], n0[0], w_n)
+        ref_vertex = jnp.where(in_bootstrap, w_v, ref_vertex)
+        ref_normal = jnp.where(in_bootstrap, w_n, ref_normal)
+        raycast_pose = jnp.where(in_bootstrap, state.pose, raycast_pose)
     return state.replace(ref_vertex=ref_vertex, ref_normal=ref_normal,
                          raycast_pose=raycast_pose)
 
@@ -673,7 +706,9 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   icp_sym_min_deg: float = 0.5,
                   icp_sym_max_deg: float = 4.5,
                   bootstrap_frames: int = 3,
-                  fuse_filtered: bool = False) -> FrameState:
+                  fuse_filtered: bool = False,
+                  raycast_from_frame: int = 3,
+                  bootstrap_f2f: bool = False) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
@@ -710,4 +745,6 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                             adaptive_deg=adaptive_deg,
                             adaptive_dist=adaptive_dist,
                             grad_decim=grad_decim,
-                            full_res_scan=full_res_scan)
+                            full_res_scan=full_res_scan,
+                            raycast_from_frame=raycast_from_frame,
+                            bootstrap_f2f=bootstrap_f2f, neg_y=neg_y)

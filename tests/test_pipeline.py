@@ -305,6 +305,29 @@ class TestSDFPipeline:
         err = np.linalg.norm(np.asarray(st.pose)[:3, 3] - poses[-1][:3, 3])
         assert err < 0.1
 
+    def test_bootstrap_frame_to_frame_tracks_early(self, run):
+        """bootstrap_f2f (r5): before the first model raycast the
+        previous frame's input maps serve as the reference model, so
+        frames 1-2 track instead of silently fusing at a frozen pose
+        (the bootstrap smear that breaks fine-voxel noise streams)."""
+        slam, states, poses, depths = run
+        cfg = Configuration(volume_resolution=(128,) * 3,
+                            volume_size=(DIM,) * 3, pyramid=(4, 3, 2),
+                            block_capacity=4096, integration_rate=1,
+                            bootstrap_f2f=True)
+        s2 = DenseSLAMSystem((H, W), cfg)
+        s2.setPose(poses[0])
+        tracked = []
+        for i in range(8):
+            st = s2.step(depths[i], K4, i)
+            tracked.append(bool(st.tracked))
+        # frames 1-2 track frame-to-frame (plain bootstrap leaves them
+        # untracked: the reference maps are invalid until frame 3)
+        assert tracked[1] and tracked[2]
+        assert bool(st.tracked)
+        err = np.linalg.norm(np.asarray(st.pose)[:3, 3] - poses[-1][:3, 3])
+        assert err < 0.1
+
     def test_groundtruth_mode_bypasses_icp(self, run):
         depths, poses = make_seq(4, sweep=0.03)
         slam = make_slam()
