@@ -103,6 +103,7 @@ def main():
     fuse_filtered = "--fuse-filtered" in sys.argv
     rc_from = _intflag("--rc-from", 3)
     bootstrap_f2f = "--f2f" in sys.argv
+    f2f_fallback = "--f2f-fallback" in sys.argv
 
     # default-flags noise regime (VERDICT r3 item 3): `--bilateral` with
     # no explicit config knobs selects the noise-validated stack exactly
@@ -121,7 +122,7 @@ def main():
                      "--robust", "--robust-delta", "--assoc",
                      "--symmetric", "--sym-auto", "--sigma-floor",
                      "--bootstrap", "--fuse-filtered", "--rc-from",
-                     "--f2f"}
+                     "--f2f", "--f2f-fallback"}
     auto_regime = bilateral and not (_CONFIG_FLAGS & set(sys.argv))
     if auto_regime:
         field_name, normals, int_rate, near_rescue = \
@@ -202,7 +203,8 @@ def main():
                            bootstrap_frames=bootstrap,
                            fuse_filtered=fuse_filtered,
                            raycast_from_frame=rc_from,
-                           bootstrap_f2f=bootstrap_f2f)
+                           bootstrap_f2f=bootstrap_f2f,
+                           f2f_fallback=f2f_fallback)
     k_dev = jnp.asarray(k)
     depths_dev = jnp.asarray(depths)
     gt_dev = jnp.asarray(poses)
@@ -319,6 +321,7 @@ def main():
         "fuse_filtered": fuse_filtered,
         "raycast_from_frame": rc_from,
         "bootstrap_f2f": bootstrap_f2f,
+        "f2f_fallback": f2f_fallback,
         "icp_robust": icp_robust,
         "icp_robust_delta": robust_delta,
         "icp_assoc": icp_assoc,
@@ -403,6 +406,8 @@ def main():
         mode += f"_rcf{rc_from}"
     if bootstrap_f2f:
         mode += "_f2f"
+    if f2f_fallback:
+        mode += "_f2b"
     if icp_robust != "none":
         mode += f"_rb{icp_robust[0]}{robust_delta:g}"
     if icp_assoc != "nearest":

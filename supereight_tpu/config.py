@@ -171,6 +171,18 @@ class Configuration:
                                            # diagnosis r5: the frame-4
                                            # map yields 857 inlier px vs
                                            # 24k at 256^3)
+    f2f_fallback: bool = False             # frame-to-frame RECOVERY:
+                                           # when model tracking fails
+                                           # (divergence gate), publish
+                                           # the frame's input maps as
+                                           # the reference so the pose
+                                           # rides f2f odometry through
+                                           # the failure streak and
+                                           # model tracking can re-lock
+                                           # (the reference freezes the
+                                           # pose instead and never
+                                           # recovers once the scene
+                                           # moves on)
     bootstrap_f2f: bool = False            # frame-to-frame bootstrap
                                            # tracking: before the first
                                            # model raycast, the previous

@@ -111,6 +111,7 @@ def make_process_frame_sharded(
         iterations, tracking_rate: int = 1, integration_rate: int = 1,
         bootstrap_frames: int = 3, fuse_filtered: bool = False,
         raycast_from_frame: int = 3, bootstrap_f2f: bool = False,
+        f2f_fallback: bool = False,
         bilateral: bool = False, icp_threshold: float = 1e-5,
         normals: str = "hybrid", second_window: bool = True,
         span_factor: float = 1.6, refine: str = "secant",
@@ -365,10 +366,14 @@ def make_process_frame_sharded(
 
             ref_v, ref_n, rc_pose, n_drop = jax.lax.cond(
                 do_raycast, raycast_branch, skip_branch, None)
-            if bootstrap_f2f:
-                # frame-to-frame bootstrap (raycasting_stage parity):
+            if bootstrap_f2f or f2f_fallback:
+                # frame-to-frame publication (raycasting_stage parity):
                 # replicated dense math on replicated state
-                in_bs = (~do_raycast) & (frame < raycast_from_frame)
+                in_bs = jnp.zeros((), bool)
+                if bootstrap_f2f:
+                    in_bs |= (~do_raycast) & (frame < raycast_from_frame)
+                if f2f_fallback:
+                    in_bs |= (~st.tracked) & (frame >= raycast_from_frame)
                 w_v = camera.transform_points(st.pose, vertices[0])
                 w_n = camera.rotate_vectors(st.pose, norms_pyr[0])
                 inval = norms_pyr[0][..., 0] == -2.0

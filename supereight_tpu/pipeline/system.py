@@ -141,6 +141,7 @@ class DenseSLAMSystem:
                 fuse_filtered=config.fuse_filtered,
                 raycast_from_frame=config.raycast_from_frame,
                 bootstrap_f2f=config.bootstrap_f2f,
+                f2f_fallback=config.f2f_fallback,
             ),
             static_argnames=("use_gt", "neg_y"))
         # (no donation here: callers may hold references to earlier states;
@@ -190,7 +191,8 @@ class DenseSLAMSystem:
                 adaptive_deg=config.raycast_adaptive_deg,
                 adaptive_dist=config.raycast_adaptive_dist,
                 raycast_from_frame=config.raycast_from_frame,
-                bootstrap_f2f=config.bootstrap_f2f)),
+                bootstrap_f2f=config.bootstrap_f2f,
+                f2f_fallback=config.f2f_fallback)),
         }
 
     # ---- reference-parity accessors ----
@@ -595,6 +597,7 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
                      adaptive_dist: float = 0.12,
                      raycast_from_frame: int = 3,
                      bootstrap_f2f: bool = False,
+                     f2f_fallback: bool = False,
                      neg_y: bool = False) -> FrameState:
     """raycasting() (`DenseSLAMSystem.cpp:191-204`): refresh the reference
     model maps from the current pose (only after the bootstrap frames).
@@ -648,27 +651,34 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
         do_raycast, raycast_fn, skip_fn,
         (state.map, state.pose, state.grad, state.view))
 
-    if bootstrap_f2f:
-        # frame-to-frame bootstrap (beyond-reference): before the first
-        # model raycast, publish THIS frame's input vertex/normal maps
-        # (world space) as the reference model, so the NEXT frame's ICP
-        # tracks frame-to-frame instead of failing against invalid maps.
-        # The reference leaves frames 1..raycast_from_frame-1 untracked
-        # and fuses them at a frozen pose — a double-exposure smear that
-        # a 9 mm-voxel field under sensor noise cannot absorb (512^3
-        # noisy first-lock diagnosis, r5: a 2-frame map built at correct
-        # poses raycasts 47% valid / 5.5 mm median error while the
-        # smeared closed-loop map yields 16% / 857 inlier px).
-        in_bootstrap = (~do_raycast) & (frame < raycast_from_frame)
+    if bootstrap_f2f or f2f_fallback:
+        # frame-to-frame reference publication (beyond-reference): make
+        # THIS frame's input vertex/normal maps (world space) the
+        # reference model so the NEXT frame's ICP tracks frame-to-frame.
+        # Two triggers:
+        # * bootstrap_f2f — before the first model raycast (the
+        #   reference leaves frames 1..raycast_from_frame-1 untracked
+        #   and fuses them at a frozen pose; that double-exposure smear
+        #   is fatal at fine voxels under noise);
+        # * f2f_fallback — whenever THIS frame's model tracking failed
+        #   (divergence gate): instead of freezing against an
+        #   increasingly stale model, the pose rides frame-to-frame
+        #   odometry through the failure streak (at the single-frame
+        #   ICP noise floor) and model tracking can re-lock after it.
+        publish = jnp.zeros((), bool)
+        if bootstrap_f2f:
+            publish |= (~do_raycast) & (frame < raycast_from_frame)
+        if f2f_fallback:
+            publish |= (~state.tracked) & (frame >= raycast_from_frame)
         _, v0, n0 = preprocessing.build_pyramid(state.scaled_depth, k, 1,
                                                 neg_y=neg_y)
         w_v = camera.transform_points(state.pose, v0[0])
         w_n = camera.rotate_vectors(state.pose, n0[0])
         invalid = n0[0][..., 0] == INVALID
         w_n = jnp.where(invalid[..., None], n0[0], w_n)
-        ref_vertex = jnp.where(in_bootstrap, w_v, ref_vertex)
-        ref_normal = jnp.where(in_bootstrap, w_n, ref_normal)
-        raycast_pose = jnp.where(in_bootstrap, state.pose, raycast_pose)
+        ref_vertex = jnp.where(publish, w_v, ref_vertex)
+        ref_normal = jnp.where(publish, w_n, ref_normal)
+        raycast_pose = jnp.where(publish, state.pose, raycast_pose)
     return state.replace(ref_vertex=ref_vertex, ref_normal=ref_normal,
                          raycast_pose=raycast_pose)
 
@@ -708,7 +718,8 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                   bootstrap_frames: int = 3,
                   fuse_filtered: bool = False,
                   raycast_from_frame: int = 3,
-                  bootstrap_f2f: bool = False) -> FrameState:
+                  bootstrap_f2f: bool = False,
+                  f2f_fallback: bool = False) -> FrameState:
     """One full SLAM frame as a pure function (fused jit target; the staged
     variants above are jitted separately by the CLI's --staged timing mode)."""
     state = preprocessing_stage(state, depth_mm, bilateral=bilateral)
@@ -747,4 +758,5 @@ def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
                             grad_decim=grad_decim,
                             full_res_scan=full_res_scan,
                             raycast_from_frame=raycast_from_frame,
-                            bootstrap_f2f=bootstrap_f2f, neg_y=neg_y)
+                            bootstrap_f2f=bootstrap_f2f,
+                            f2f_fallback=f2f_fallback, neg_y=neg_y)
