@@ -177,12 +177,20 @@ class Configuration:
                                            # the frame's input maps as
                                            # the reference so the pose
                                            # rides f2f odometry through
-                                           # the failure streak and
-                                           # model tracking can re-lock
-                                           # (the reference freezes the
-                                           # pose instead and never
-                                           # recovers once the scene
-                                           # moves on)
+                                           # the failure streak (fusion
+                                           # suppressed on odometry
+                                           # frames via
+                                           # FrameState.model_ref).
+                                           # MEASURED NEGATIVE on the
+                                           # Kinect-noise matrix (r5
+                                           # chains 45-46: tracked
+                                           # frames rise to 83-92/96
+                                           # but far-wall odometry
+                                           # drift lands 18-73 cm vs
+                                           # 9.88 plain) — the streaks
+                                           # happen exactly where f2f
+                                           # ICP is worst; kept as a
+                                           # knob with records
     bootstrap_f2f: bool = False            # frame-to-frame bootstrap
                                            # tracking: before the first
                                            # model raycast, the previous
@@ -190,9 +198,15 @@ class Configuration:
                                            # maps serve as the reference
                                            # model (the reference leaves
                                            # those frames untracked and
-                                           # smears the bootstrap map —
-                                           # fatal at fine voxels under
-                                           # noise; raycasting_stage)
+                                           # smears the bootstrap map).
+                                           # On clean orbits MEASURED
+                                           # NEGATIVE (f2f poses carry
+                                           # the single-frame ICP noise
+                                           # floor: headline 1.85 ->
+                                           # 2.95, 512^3 base 2.24 ->
+                                           # 7.37 — r5 chain 41); a
+                                           # fine-voxel noise-bootstrap
+                                           # lever only, off by default
     raycast_from_frame: int = 3            # first reference-map refresh
                                            # (reference parity: 3, i.e.
                                            # `frame > 2`; 1 = refresh

@@ -225,7 +225,9 @@ def make_process_frame_sharded(
             # ---- integration: psum'd request masks + deterministic
             # replicated allocation + owner-local fusion ----
             m0 = st.map
-            do_integrate = (st.tracked | (frame <= bootstrap_frames)) & \
+            model_ok = st.tracked if st.model_ref is None \
+                else st.tracked & st.model_ref
+            do_integrate = (model_ok | (frame <= bootstrap_frames)) & \
                 (((frame % integration_rate) == 0)
                  | (frame <= bootstrap_frames))
             K = camera.camera_matrix(k)
@@ -381,6 +383,13 @@ def make_process_frame_sharded(
                 ref_v = jnp.where(in_bs, w_v, ref_v)
                 ref_n = jnp.where(in_bs, w_n, ref_n)
                 rc_pose = jnp.where(in_bs, st.pose, rc_pose)
+                if st.model_ref is not None:
+                    st = st.replace(model_ref=jnp.where(
+                        in_bs, False,
+                        jnp.where(do_raycast, True, st.model_ref)))
+            elif st.model_ref is not None:
+                st = st.replace(model_ref=jnp.where(do_raycast, True,
+                                                    st.model_ref))
             st = st.replace(
                 ref_vertex=ref_v, ref_normal=ref_n, raycast_pose=rc_pose,
                 # frustum-overflow diagnostic (no silent caps): visible

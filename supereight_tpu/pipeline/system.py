@@ -58,6 +58,11 @@ class FrameState(struct.PyTreeNode):
     #: previous frame's final pose — the per-frame motion signal for the
     #: in-graph regime gates (icp_symmetric="auto")
     prev_pose: Optional[jnp.ndarray] = None
+    #: True when ref_vertex/ref_normal came from a MODEL raycast, False
+    #: when the f2f bootstrap/fallback published input maps instead —
+    #: f2f-tracked frames keep pose continuity but must not fuse (their
+    #: odometry pose is only good to the single-frame ICP noise floor)
+    model_ref: Optional[jnp.ndarray] = None
 
 
 class DenseSLAMSystem:
@@ -366,6 +371,7 @@ def init_state(size: int, dim: float, field, H: int, W: int,
         alloc_pose=jnp.asarray(init_pose, jnp.float32) + 0.0,
         alloc_count=jnp.zeros((), jnp.int32),
         prev_pose=jnp.asarray(init_pose, jnp.float32) * 1.0,
+        model_ref=jnp.ones((), bool),
     )
 
 
@@ -483,7 +489,9 @@ def integration_stage(state: FrameState, k, frame, *, field,
     whose occlusions keep revealing new surface (measured: ar16 holds
     2.48 cm on the bench orbit but loses room2 at 40 cm while the
     every-firing march holds 9.4 cm there)."""
-    do_integrate = (state.tracked | (frame <= bootstrap_frames)) & \
+    model_ok = state.tracked if state.model_ref is None \
+        else state.tracked & state.model_ref
+    do_integrate = (model_ok | (frame <= bootstrap_frames)) & \
         (((frame % integration_rate) == 0) | (frame <= bootstrap_frames))
     K = camera.camera_matrix(k)
     timestamp = (1.0 / 30.0) * frame.astype(jnp.float32)
@@ -679,8 +687,18 @@ def raycasting_stage(state: FrameState, k, frame, *, field,
         ref_vertex = jnp.where(publish, w_v, ref_vertex)
         ref_normal = jnp.where(publish, w_n, ref_normal)
         raycast_pose = jnp.where(publish, state.pose, raycast_pose)
+        model_ref = state.model_ref
+        if model_ref is not None:
+            model_ref = jnp.where(publish, False,
+                                  jnp.where(do_raycast, True, model_ref))
+        return state.replace(ref_vertex=ref_vertex, ref_normal=ref_normal,
+                             raycast_pose=raycast_pose,
+                             model_ref=model_ref)
     return state.replace(ref_vertex=ref_vertex, ref_normal=ref_normal,
-                         raycast_pose=raycast_pose)
+                         raycast_pose=raycast_pose,
+                         model_ref=None if state.model_ref is None
+                         else jnp.where(do_raycast, True,
+                                        state.model_ref))
 
 
 def process_frame(state: FrameState, depth_mm, k, frame, gt_pose,
