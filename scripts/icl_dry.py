@@ -64,8 +64,11 @@ def main():
         # camera scaled by -r 8 like the ingestion test
         kk = ",".join(str(float(x)) for x in k)
         extra = ("-r", "8", "-k", kk)
+        # auto_regime off: the 4-frame 64^3 toy run mistracks by
+        # construction, and the drill must exercise the SDF icl-bench
+        # path, not a dispatcher rerun
         res = runner.run("icl-lr-traj2", field="sdf", resolution=64,
-                         frames=4, extra_args=extra)
+                         frames=4, extra_args=extra, auto_regime=False)
     else:
         res = runner.run("icl-lr-traj2", field="sdf", resolution=256)
     res["fabricated_tree"] = fabricated

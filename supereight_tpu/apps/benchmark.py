@@ -186,7 +186,10 @@ def main(argv=None):
         "--alloc-on-demand": "alloc_on_demand",
         "-F": "bilateral_filter", "--bilateral-filter": "bilateral_filter",
     }
-    pinned = {f for fl, f in _FLAG2FIELD.items() if fl in argv_l}
+    # membership must also catch the --flag=value token form
+    pinned = {f for fl, f in _FLAG2FIELD.items()
+              if fl in argv_l
+              or any(a.startswith(fl + "=") for a in argv_l)}
 
     if args.preset:
         # named validated stack (config.PRESETS); user flags win

@@ -162,10 +162,19 @@ def run(dataset: str, field: str = "sdf", resolution: int = 256,
     argv = ["-i", rawp, "-s", str(spec["volume"]), "-v", str(resolution),
             "-k", camera, "-o", log_path, "-q",
             "-p", spec.get("init_pose", "0.5,0.5,0")]
-    # -z would PIN integration_rate against a preset's value, so it only
-    # rides the non-preset path
-    argv += ["--preset", _rerun_preset] if _rerun_preset \
-        else ["--field", field, "-z", "1"]
+    # explicit --field/-z would PIN those fields against preset or
+    # noise-regime overrides, so: presets carry their own stack; noisy
+    # streams (-F in the spec or caller args) must leave the -F
+    # auto-regime free to select the noise stack unless the caller
+    # explicitly chose a non-default field
+    noisy = "-F" in spec.get("extra_args", ()) or "-F" in extra_args
+    if _rerun_preset:
+        argv += ["--preset", _rerun_preset]
+    elif noisy and field == "sdf":
+        pass                      # default field on a noisy stream:
+                                  # let apply_noise_regime dispatch
+    else:
+        argv += ["--field", field, "-z", "1"]
     if frames:
         argv += ["--max-frames", str(frames)]
     if staged:
@@ -219,8 +228,7 @@ def run(dataset: str, field: str = "sdf", resolution: int = 256,
     rot_med, tr_med = classify_motion(est_poses[:n])
     results["median_rot_deg"] = round(rot_med, 3)
     results["median_trans_m"] = round(tr_med, 4)
-    if auto_regime and not _rerun_preset and field == "sdf" \
-            and "-F" not in spec.get("extra_args", ()):
+    if auto_regime and not _rerun_preset and field == "sdf" and not noisy:
         trans_dom = rot_med < TRANS_ROT_MAX_DEG and tr_med > TRANS_MIN_M
         mistrack = results["tracked_ratio"] < MISTRACK_RATIO
         if trans_dom or mistrack:

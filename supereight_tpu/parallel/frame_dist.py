@@ -191,7 +191,9 @@ def make_process_frame_sharded(
             if "track" in _skip:
                 st = st.replace(tracked=jnp.ones((), bool))
             elif use_gt:
-                st = st.replace(pose=gt_pose, tracked=jnp.ones((), bool))
+                st = st.replace(pose=gt_pose, tracked=jnp.ones((), bool),
+                                prev_pose=None if st.prev_pose is None
+                                else st.pose * 1.0)
             else:
                 do_track = (frame % tracking_rate) == 0
                 sym = icp_symmetric

@@ -162,9 +162,18 @@ def launch(num_processes: int = 2, devices_per_proc: int = 4,
             [sys.executable, "-c", boot],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=timeout)
-        logs.append(out.decode(errors="replace"))
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            logs.append(out.decode(errors="replace"))
+    finally:
+        # a worker that died early leaves its peer blocked in
+        # jax.distributed.initialize holding the coordinator port —
+        # never leak workers past launch()
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for i, p in enumerate(procs):
         if p.returncode != 0:
             raise RuntimeError(

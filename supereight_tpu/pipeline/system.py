@@ -172,6 +172,7 @@ class DenseSLAMSystem:
                 integration_stage, field=self.field,
                 integration_rate=config.integration_rate,
                 bootstrap_frames=config.bootstrap_frames,
+                fuse_filtered=config.fuse_filtered,
                 integrate_budget=config.integrate_budget,
                 alloc_stride=config.alloc_stride,
                 alloc_rate=config.alloc_rate,
@@ -197,7 +198,8 @@ class DenseSLAMSystem:
                 adaptive_dist=config.raycast_adaptive_dist,
                 raycast_from_frame=config.raycast_from_frame,
                 bootstrap_f2f=config.bootstrap_f2f,
-                f2f_fallback=config.f2f_fallback)),
+                f2f_fallback=config.f2f_fallback),
+                static_argnames=("neg_y",)),
         }
 
     # ---- reference-parity accessors ----
@@ -251,9 +253,13 @@ class DenseSLAMSystem:
         return bool(self.state.integrated)
 
     def raycasting(self, k, frame: int):
+        # neg_y follows fy < 0 like the tracking stage
+        # (`DenseSLAMSystem.cpp:159-162`) — it shapes the f2f-published
+        # reference normals
         self.state = self._stages["raycasting"](
             self.state, jnp.asarray(k, jnp.float32),
-            jnp.asarray(frame, jnp.int32))
+            jnp.asarray(frame, jnp.int32),
+            neg_y=bool(np.asarray(k)[1] < 0))
         return frame > 2
 
     # ---- main entry ----
@@ -308,7 +314,7 @@ class DenseSLAMSystem:
         times["integration"] = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
-        st = self._stages["raycasting"](st, kd, fd)
+        st = self._stages["raycasting"](st, kd, fd, neg_y=neg_y)
         st.ref_vertex.block_until_ready()
         times["raycasting"] = _time.perf_counter() - t0
 

@@ -167,9 +167,10 @@ def reduce_kernel(td: TrackData, robust: str = "none",
     IRLS weights on the point-to-plane residual — ``"huber"``
     (w = min(1, delta/|r|)) or ``"tukey"`` (w = (1-(r/c)^2)^2 inside c,
     0 outside), dense elementwise math at zero descriptor cost.  The
-    weights enter error2/JTe/JTJ; ``count`` stays the unweighted inlier
-    count so the divergence gate's pixel-fraction test keeps the
-    reference's semantics."""
+    weights enter ONLY the solve (JTe/JTJ); ``error2`` and ``count``
+    stay unweighted so the divergence gate's RMSE and pixel-fraction
+    tests keep the reference's semantics exactly (a weighted error2
+    would deflate the RMSE and let misaligned frames past the gate)."""
     ok = (td.result == 1).astype(jnp.float32)
     wr = ok
     if robust == "huber":
@@ -182,7 +183,7 @@ def reduce_kernel(td: TrackData, robust: str = "none",
     elif robust != "none":
         raise ValueError(f"robust {robust!r}")
     w = wr[..., None]
-    error2 = jnp.sum(wr * td.error * td.error)
+    error2 = jnp.sum(ok * td.error * td.error)
     JTe = jnp.sum(w * td.error[..., None] * td.J, axis=(0, 1))
     Jw = w * td.J
     JTJ = jnp.einsum("hwi,hwj->ij", Jw, td.J)

@@ -103,8 +103,10 @@ class TestSolverLeverKernels:
         np.testing.assert_allclose(float(JTep[0]), 0.505, atol=1e-6)
         np.testing.assert_allclose(float(JTeh[0]),
                                    0.005 + 0.01 / 0.5 * 0.5, atol=1e-6)
-        assert float(e2h) < float(e2p)
-        assert float(cp) == float(ch) == 2.0   # count stays unweighted
+        # error2/count stay UNWEIGHTED: the divergence gate's RMSE must
+        # keep the reference's semantics (weights shape the solve only)
+        np.testing.assert_allclose(float(e2h), float(e2p), atol=1e-9)
+        assert float(cp) == float(ch) == 2.0
 
     def test_tukey_zeroes_outlier(self):
         from supereight_tpu.pipeline import tracking
