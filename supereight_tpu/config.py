@@ -311,6 +311,18 @@ PRESETS = {
         incremental_view=True, raycast_near_rescue=False,
         integration_rate=4,
     ),
+    # 256^3 OFusion precision point (r5 chains 52-55): the FULL
+    # reference-fidelity stack — exact blended gradients, full ICP,
+    # -z4, the reference demo mu 0.008, trilinear re-solve — whose
+    # levers measured negative individually but COMPOSE: 8.7 fps @
+    # 1.51 cm clean (ref 0.61 @ 9.3), jit 1.64 (best occupancy cell),
+    # alt 4.13, room2 4.49.  Clean-data precision only; the noise
+    # regime stays the "noise" preset
+    "ofusion-fidelity": dict(
+        field_type="ofusion", mu=0.008,
+        raycast_normals="exact", raycast_refine="interp",
+        raycast_near_rescue=False, integration_rate=4,
+    ),
     # Translation-dominant regime (dolly/corridor motion): the occupancy
     # quality stack — the only stack that holds the 25 mm/frame dolly
     # (5.79 cm vs 18-44 for every SDF config tried, r4-r5 chains;
